@@ -1,0 +1,41 @@
+"""SparkSession factory with the pinned runtime configuration
+(SURVEY.md §4): AQE on, Arrow on with bounded batches, UTC, and
+shuffle partitions sized for the sandbox (overridable for the
+local[8]-vs-local[32] scaling protocol)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(
+    master: str | None = None,
+    app_name: str = "miekki",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("MIEKKI_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    shuffle = shuffle_partitions or int(os.environ.get("MIEKKI_SHUFFLE_PARTITIONS", "64"))
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html rows are ~KBs; default 10k-record Arrow batches would be
+        # ~GB buffers in the extract/minhash pUDFs (SURVEY.md §4.3)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("MIEKKI_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

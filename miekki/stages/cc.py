@@ -1,0 +1,88 @@
+"""O15–O18 — connected components via large-star/small-star
+alternation (Kiveris et al., SoCC 2014; mandated by BASELINE.json
+north_star), expressed as DataFrame self-joins — the candidate-pair
+"graph" is just a table (SURVEY.md §1.1/§2.7).
+
+Per-iteration ``localCheckpoint()`` truncates lineage: without it the
+Catalyst plan doubles per round and analysis time explodes. Labels are
+deterministic: cluster_id = min (signed int64) doc_id in the
+component — partitioning-invariant by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    rev = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    return fwd.unionByName(rev).where("u != v")
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    """∀u: connect strictly-larger neighbors to m = min(Γ(u) ∪ {u})."""
+    sym = _symmetrize(edges)
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+               .select("u", F.least("mn", "u").alias("m")))
+    return (sym.join(mins, "u")
+               .where(F.col("v") > F.col("u"))
+               .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+               .where("src != dst")
+               .distinct())
+
+
+def small_star(edges: DataFrame) -> DataFrame:
+    """∀u: connect smaller-or-equal neighbors (and u) to the min."""
+    e = (edges.select(F.greatest("src", "dst").alias("u"),
+                      F.least("src", "dst").alias("v"))
+              .where("u != v").distinct())
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+    j = e.join(mins, "u")
+    out1 = j.select(F.col("v").alias("src"), F.col("mn").alias("dst"))
+    out2 = mins.select(F.col("u").alias("src"), F.col("mn").alias("dst"))
+    return out1.unionByName(out2).where("src != dst").distinct()
+
+
+def _edge_stats(edges: DataFrame):
+    """Convergence fingerprint: count alone can collide, so pair it
+    with an order-insensitive xxhash64 bit_xor (SURVEY.md §2.7;
+    bit_xor instead of sum — ANSI mode forbids wrapping long sums)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def cc_fixpoint(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """Alternate large/small star to fixpoint; returns star edges
+    (node → component-min)."""
+    # materialize the input edge set once — every star round reads it
+    # twice (groupBy + join back); without this the whole upstream
+    # pipeline would re-execute per use (SURVEY.md §4.2)
+    e = edges.select("src", "dst").where("src != dst").distinct().localCheckpoint()
+    prev = _edge_stats(e)
+    if prev[0] == 0:
+        return e
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint()
+        cur = _edge_stats(e)
+        if cur == prev:
+            return e
+        prev = cur
+    raise RuntimeError(f"CC did not converge in {max_iter} iterations")
+
+
+def cc_labels(edges: DataFrame, nodes: DataFrame,
+              node_col: str = "doc_id") -> DataFrame:
+    """(src, dst) edges + node table → T5 labels (doc_id, cluster_id).
+
+    Isolated nodes become singleton clusters labeled by themselves."""
+    star = cc_fixpoint(edges)
+    lab = star.groupBy(F.col("src").alias(node_col)).agg(
+        F.min("dst").alias("cluster_id"))
+    return (nodes.select(node_col).distinct()
+            .join(lab, node_col, "left")
+            .withColumn("cluster_id",
+                        F.coalesce("cluster_id", F.col(node_col))))

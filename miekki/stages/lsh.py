@@ -1,0 +1,67 @@
+"""O8/O9/O10 — LSH band hashing + salted star-edge extraction.
+
+Hot-bucket skew (boilerplate pages collapse millions of docs into one
+band bucket) is defused two ways (SURVEY.md §2.4, mandated by
+BASELINE.json north_star "salted repartition-by-band"):
+
+1. NEVER all-pairs: per bucket emit star edges (bucket_min, doc) —
+   |bucket|-1 edges; connectivity (hence clusters) is preserved
+   exactly.
+2. Two-level salted aggregation: level 1 groups by
+   (band_id, band_hash, salt) — max group ~ bucket/S; level 2 joins
+   the S salt-mins per bucket to the global bucket min — max group S.
+
+AQE's skew handling covers joins, not groupBy/window — hence the
+manual salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from miekki.config import DedupConfig
+from miekki.exprs import hash_multi_sql
+
+
+def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """T2 → T3 (doc_id, band_id, band_hash, salt).
+
+    band_hash = hash(band_id, sig[r*b], ..., sig[r*b+r-1]) — computed
+    inside one JVM transform+posexplode, no Python."""
+    r = cfg.rows_per_band
+    h = hash_multi_sql(
+        ["cast(b as bigint)"] + [f"minhash[b*{r}+{j}]" for j in range(r)], cfg
+    )
+    bands = F.expr(f"transform(sequence(0, {cfg.bands - 1}), b -> {h})")
+    out = signatures.select("doc_id", F.posexplode(bands).alias("band_id", "band_hash"))
+    # salt is a pure function of doc_id: it only partitions work,
+    # never changes cluster output (SURVEY.md §2.4)
+    return out.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets)).cast("int")
+    )
+
+
+def star_edges(bucketed: DataFrame, key_cols: list[str], cfg: DedupConfig,
+               id_col: str = "doc_id", salt_col: str = "salt") -> DataFrame:
+    """Generic two-level salted bucket→edges operator (reused by the
+    MinHash band pass and the exact-substring fingerprint pass).
+
+    Emits (src, dst) with src = bucket minimum < dst; linear in bucket
+    size, bounded reducer groups at both levels."""
+    w1 = Window.partitionBy(*key_cols, salt_col)
+    lvl1 = bucketed.withColumn("m1", F.min(id_col).over(w1))
+    edges1 = (lvl1.where(F.col(id_col) != F.col("m1"))
+                  .select(F.col("m1").alias("src"), F.col(id_col).alias("dst")))
+
+    salt_mins = lvl1.select(*key_cols, salt_col, "m1").distinct()
+    w2 = Window.partitionBy(*key_cols)
+    lvl2 = salt_mins.withColumn("m2", F.min("m1").over(w2))
+    edges2 = (lvl2.where(F.col("m1") != F.col("m2"))
+                  .select(F.col("m2").alias("src"), F.col("m1").alias("dst")))
+
+    return edges1.unionByName(edges2).dropDuplicates(["src", "dst"])
+
+
+def minhash_candidate_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """T2 → candidate (src, dst) edges from LSH band collisions."""
+    return star_edges(band_table(signatures, cfg), ["band_id", "band_hash"], cfg)

@@ -1,0 +1,49 @@
+"""O3/O4/O5 — normalization, deterministic doc ids, shingling.
+
+All pure Spark SQL (JVM whole-stage codegen; no Python): lower →
+collapse [ \\t\\r\\n]+ → trim; doc_id = xxhash64(url) (NEVER
+monotonically_increasing_id — partitioning-dependent, SURVEY.md §4.4);
+character k-shingles as array_distinct of hashed substrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from miekki.config import DedupConfig
+from miekki.exprs import hash1_sql
+
+# actual control characters, passed through the DataFrame API so no
+# SQL-literal escaping ambiguity exists (pinned vs oracle normalize_ws)
+WS_PATTERN = "[ \t\r\n]+"
+
+
+def norm_text_col(col_name: str = "text") -> F.Column:
+    return F.trim(F.regexp_replace(F.lower(F.col(col_name)), WS_PATTERN, " "))
+
+
+def normalize(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """T0 corpus → T1 docs_norm (doc_id, url, lang, norm_text)."""
+    return corpus.select(
+        F.expr(hash1_sql("url", cfg)).alias("doc_id"),
+        "url",
+        "lang",
+        norm_text_col("text").alias("norm_text"),
+    )
+
+
+def shingle_expr(cfg: DedupConfig, text_col: str = "norm_text") -> F.Column:
+    """Distinct char-k-shingle hashes: array<long>, always >= 1 element
+    (docs shorter than k yield one whole-text shingle, SURVEY.md §2.1)."""
+    k = cfg.shingle_k
+    h = hash1_sql(f"substring({text_col}, i, {k})", cfg)
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(1, char_length({text_col}) - {k - 1})),"
+        f" i -> {h}))"
+    )
+
+
+def with_shingles(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
+    df = docs_norm.withColumn("shingles", shingle_expr(cfg))
+    return df.withColumn("n_shingles", F.size("shingles"))
