@@ -108,8 +108,8 @@ def to_i64(u: int) -> int:
 
 
 def to_u64(s: int) -> int:
-    """Reinterpret signed long as uint64."""
-    return s & MASK64
+    """Reinterpret signed long as uint64 (accepts numpy ints too)."""
+    return int(s) & MASK64
 
 
 def spark_xxhash64(*args, seed: int = SPARK_SEED) -> int:

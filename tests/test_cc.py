@@ -1,0 +1,51 @@
+"""large-star/small-star CC vs the networkx oracle (SURVEY.md §5.2,
+FIXTURES.md F3 cc_edges cases): path, star, two components,
+self-loops, 64-bit boundary ids, random graphs."""
+
+import numpy as np
+import pytest
+
+from oracle.cc import cc_labels as oracle_cc
+
+CASES = {
+    "path": [(1, 2), (2, 3), (3, 4), (4, 5)],
+    "star": [(10, 1), (10, 2), (10, 3)],
+    "two_components": [(1, 2), (2, 3), (7, 8), (8, 9)],
+    "self_loop": [(5, 5), (5, 6)],
+    "boundary_ids": [(-(2**63), 2**63 - 1), (2**63 - 1, 0), (-1, -2)],
+    "chain_long": [(i, i + 1) for i in range(40)],
+    "duplicate_edges": [(1, 2), (2, 1), (1, 2), (2, 3)],
+    "singleton_nodes": [(1, 2)],  # nodes arg adds isolated 99
+}
+
+
+def spark_cc(spark, edges, nodes):
+    from miekki.stages.cc import cc_labels
+
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.limit(0)
+    n = spark.createDataFrame([(x,) for x in nodes], "doc_id long")
+    rows = cc_labels(e, n).collect()
+    return {r.doc_id: r.cluster_id for r in rows}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_cc_cases(spark, name):
+    edges = CASES[name]
+    nodes = sorted({x for e in edges for x in e} | {99})
+    assert spark_cc(spark, edges, nodes) == oracle_cc(edges, nodes)
+
+
+def test_cc_empty_edges(spark):
+    assert spark_cc(spark, [], [1, 2, 3]) == {1: 1, 2: 2, 3: 3}
+
+
+def test_cc_random_graphs(spark):
+    rng = np.random.Generator(np.random.PCG64(5))
+    for n_nodes, n_edges in [(50, 40), (200, 150), (100, 300)]:
+        ids = np.unique(rng.integers(-(2**62), 2**62, size=n_nodes))
+        src = rng.choice(ids, size=n_edges)
+        dst = rng.choice(ids, size=n_edges)
+        edges = [(int(a), int(b)) for a, b in zip(src, dst)]
+        assert spark_cc(spark, edges, ids.tolist()) == oracle_cc(edges, ids.tolist())

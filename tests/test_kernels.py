@@ -1,0 +1,93 @@
+"""Spark-free kernel tests: the mapInArrow numpy kernel vs the
+plain-loop oracle, plus MinHash statistical properties
+(SURVEY.md §5.1/§5.2). hypothesis drives random shingle sets.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from miekki.config import DedupConfig, perm_coeffs
+from miekki.kernels import make_signature_kernel
+from oracle.sketches import (est_jaccard, minhash_signature,
+                             simhash_fingerprint)
+
+CFG = DedupConfig()
+
+i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+shingle_sets = st.lists(i64, min_size=1, max_size=200, unique=True)
+
+
+def run_kernel(rows):
+    """rows: list of shingle-hash lists -> (minhash rows, simhash rows)"""
+    kernel = make_signature_kernel(CFG)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(list(range(len(rows))), type=pa.int64()),
+         pa.array(rows, type=pa.list_(pa.int64()))],
+        names=["doc_id", "shingles"],
+    )
+    out = list(kernel(iter([batch])))
+    assert len(out) == 1
+    return (out[0].column("minhash").to_pylist(),
+            out[0].column("simhash").to_pylist())
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(shingle_sets, min_size=1, max_size=8))
+def test_kernel_matches_oracle(rows):
+    mhs, fps = run_kernel(rows)
+    for row, mh, fp in zip(rows, mhs, fps):
+        assert mh == list(minhash_signature(row, CFG))
+        assert fp == simhash_fingerprint(row, CFG)
+
+
+def test_kernel_chunking_boundary():
+    # force the row-chunk governor: rows bigger than _MAX_CHUNK_VALUES/2
+    rng = np.random.Generator(np.random.PCG64(7))
+    rows = [list(np.unique(rng.integers(-(2**62), 2**62, size=n)))
+            for n in (150_000, 120_000, 3, 1, 99_000)]
+    mhs, fps = run_kernel(rows)
+    for row, mh, fp in zip(rows, mhs, fps):
+        assert mh == list(minhash_signature(row, CFG))
+        assert fp == simhash_fingerprint(row, CFG)
+
+
+def test_perm_bijectivity():
+    """Odd-A affine maps are injective on sampled uint64 inputs
+    (SURVEY.md §5.2)."""
+    a, b = perm_coeffs(CFG.n_perm, CFG.perm_seed)
+    assert np.all(a % 2 == 1)
+    rng = np.random.Generator(np.random.PCG64(3))
+    h = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    for i in (0, 63, 127):
+        p = a[i] * h + b[i]
+        assert len(np.unique(p)) == len(np.unique(h))
+
+
+def test_minhash_estimator_unbiased():
+    """|est_J - true_J| small at 128 perms on seeded random set pairs
+    (statistical bound: 4 sigma with sigma = sqrt(J(1-J)/128))."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    for _ in range(10):
+        n_common = int(rng.integers(50, 400))
+        n_a = int(rng.integers(0, 200))
+        n_b = int(rng.integers(0, 200))
+        pool = np.unique(rng.integers(-(2**62), 2**62, size=n_common + n_a + n_b))
+        common, rest = pool[:n_common], pool[n_common:]
+        sa = np.concatenate([common, rest[: len(rest) // 2]])
+        sb = np.concatenate([common, rest[len(rest) // 2:]])
+        true_j = len(common) / len(np.union1d(sa, sb))
+        est = est_jaccard(minhash_signature(sa.tolist(), CFG),
+                          minhash_signature(sb.tolist(), CFG))
+        sigma = max(np.sqrt(true_j * (1 - true_j) / CFG.n_perm), 1e-3)
+        assert abs(est - true_j) < 4 * sigma + 0.02, (true_j, est)
+
+
+def test_simhash_close_for_similar_sets():
+    rng = np.random.Generator(np.random.PCG64(13))
+    base = np.unique(rng.integers(-(2**62), 2**62, size=500)).tolist()
+    variant = base[:-5] + rng.integers(-(2**62), 2**62, size=5).tolist()
+    fa = simhash_fingerprint(base, CFG)
+    fb = simhash_fingerprint(variant, CFG)
+    ham = bin((fa ^ fb) & (2**64 - 1)).count("1")
+    assert ham <= 8  # 1% feature churn stays within a few bits
