@@ -1,0 +1,148 @@
+"""Benchmark harness (driver-run per round; SURVEY.md §6, M8).
+
+Runs the headline dedup pipeline + stage benchmarks at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <e2e sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "docs": N,
+   "docs_per_sec": X}
+
+The corpus is synthesized deterministically from documents.parquet
+(FIXTURES.md; planted dup families) and cached as parquet under
+.cache/ so the pipeline reads columnar input like a real job —
+never createDataFrame from the driver.
+
+Env knobs:
+  MIEKKI_BENCH_MULT   widen the corpus by K deterministic perturbed
+                      replicas (non-dups across replicas); default 1
+  SPARK_GRAFT_CPUS    cores for local[N]; default 32
+  MIEKKI_SHUFFLE_PARTITIONS  shuffle partitions; default 64
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+
+
+def widen_documents(docs: pd.DataFrame, mult: int) -> pd.DataFrame:
+    """K deterministic replicas; ~60% of tokens replaced with
+    replica-unique tokens so replicas never cross-match (J << tau)."""
+    if mult <= 1:
+        return docs
+    out = [docs]
+    for rep in range(1, mult):
+        rng = np.random.Generator(np.random.PCG64(1000 + rep))
+        texts = []
+        for t in docs.text:
+            toks = t.split()
+            mask = rng.random(len(toks)) < 0.6
+            texts.append(" ".join(
+                f"r{rep}w{rng.integers(0, 10**9):09d}" if m else tok
+                for tok, m in zip(toks, mask)))
+        d = docs.copy()
+        d["doc_id"] = docs.doc_id + rep * 10_000_000
+        d["text"] = texts
+        out.append(d)
+    return pd.concat(out, ignore_index=True)
+
+
+def prepare_corpus(sf_dir: str, mult: int, cache_root: str) -> tuple[str, int]:
+    """Generate (or reuse) the benchmark corpus parquet; returns
+    (path, n_docs)."""
+    from miekki.fixtures import make_corpus
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_m{mult}"
+    out_dir = os.path.join(cache_root, f"bench_corpus_{tag}")
+    path = os.path.join(out_dir, "corpus.parquet")
+    meta = os.path.join(out_dir, "meta.json")
+    if os.path.exists(path) and os.path.exists(meta):
+        with open(meta) as f:
+            return path, json.load(f)["n_docs"]
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = widen_documents(docs, mult)
+    corpus, _, _ = make_corpus(docs)
+    os.makedirs(out_dir, exist_ok=True)
+    corpus.drop(columns=["html"]).to_parquet(path, index=False)
+    with open(meta, "w") as f:
+        json.dump({"n_docs": len(corpus)}, f)
+    return path, len(corpus)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    mult = int(os.environ.get("MIEKKI_BENCH_MULT", "1"))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    corpus_path, n_docs = prepare_corpus(sf_dir, mult,
+                                         os.path.join(repo, ".cache"))
+
+    from miekki.config import DedupConfig
+    from miekki.pipeline import candidate_edges, dedup_labels
+    from miekki.session import build_spark
+    from miekki.stages.normalize import normalize, with_shingles
+    from miekki.stages.signatures import compute_signatures
+
+    cfg = DedupConfig()
+    spark = build_spark(master=f"local[{cpus}]", app_name="miekki-bench",
+                        extra_conf={"spark.ui.showConsoleProgress": "false"})
+    # the cached corpus is one small parquet file (< maxPartitionBytes
+    # = 1 split); real corpora arrive as thousands of splits — emulate
+    # that with an explicit repartition so all cores participate
+    corpus = spark.read.parquet(corpus_path).repartition(int(cpus) * 3)
+    # warm the JVM/python workers so stage timings measure compute
+    corpus.count()
+    corpus = corpus.localCheckpoint()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 2)
+        return result
+
+    # stage benches (each materialized via count to bound the stage)
+    docs_n = normalize(corpus, cfg)
+    shing = with_shingles(docs_n, cfg)
+    timed("shingle", lambda: shing.select(
+        "doc_id", "n_shingles").agg({"n_shingles": "sum"}).collect())
+    sigs = compute_signatures(shing, cfg)
+    timed("signatures", lambda: sigs.count())
+    sigs_ck = compute_signatures(shing, cfg).localCheckpoint()
+    timed("lsh_verify_edges", lambda: candidate_edges(sigs_ck, cfg).count())
+
+    # headline: cold end-to-end (re-runs everything incl. CC)
+    t0 = time.time()
+    n_labels = dedup_labels(corpus, cfg).count()
+    e2e = round(time.time() - t0, 2)
+    timings["dedup_e2e"] = e2e
+
+    from miekki.driver_queries import q1_lineitem_agg, q3_join
+    timed("q1_lineitem_agg", lambda: q1_lineitem_agg(spark, sf_dir).collect())
+    timed("q3_join", lambda: q3_join(spark, sf_dir).collect())
+
+    spark.stop()
+    assert n_labels == n_docs, (n_labels, n_docs)
+    print(json.dumps({
+        "metric": "dedup_e2e_wall",
+        "value": e2e,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / e2e, 1),
+        "cpus": int(cpus),
+        "mult": mult,
+    }))
+
+
+if __name__ == "__main__":
+    main()

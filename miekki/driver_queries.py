@@ -1,0 +1,449 @@
+"""Driver-contract queries (SURVEY.md §3.2/§5.4, __spark_entry__.py).
+
+One entry per operator key from SURVEY.md §2.0/§2.0b. Each Spark
+callable takes (spark, sf_dir) and returns a DataFrame; ORACLE_SQL
+holds the DuckDB twin executed by the driver on the same parquet
+views. Column names and types are aligned on both sides (the driver
+hashes values after sorting columns by name).
+
+Pipeline-semantic queries that DuckDB can express run over a
+PORTABLE bucketing (md5 of normalized text) so the *operator shape*
+— two-level salted star-edge extraction, large/small-star rounds, CC
+fixpoint, canonical window — is genuinely cross-checked even though
+xxhash64/MinHash themselves are not SQL-portable (those are covered
+by the pure-Python oracle in tests/ and by rows-only driver checks).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from miekki.config import DedupConfig
+
+CFG = DedupConfig()
+
+# DuckDB needs the 'g' flag; Spark replaces all matches by default.
+_NORM_DUCK = "trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'))"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _norm_docs(spark, sf_dir) -> DataFrame:
+    from miekki.stages.normalize import norm_text_col
+
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", norm_text_col("text").alias("norm")))
+
+
+_FIXTURE_CACHE: dict[str, tuple] = {}
+
+
+def _fixture(sf_dir: str):
+    """Deterministic planted-dup corpus per sf_dir (FIXTURES.md),
+    cached per process — several queries share it."""
+    if sf_dir not in _FIXTURE_CACHE:
+        from miekki.fixtures import make_corpus
+
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        _FIXTURE_CACHE[sf_dir] = make_corpus(docs)
+    return _FIXTURE_CACHE[sf_dir]
+
+
+def _fixture_corpus_df(spark: SparkSession, sf_dir: str,
+                       with_html: bool = False) -> DataFrame:
+    corpus_pdf, _, _ = _fixture(sf_dir)
+    cols = ["url", "warc_ts", "html", "text", "lang"] if with_html else \
+           ["url", "warc_ts", "text", "lang"]
+    return spark.createDataFrame(corpus_pdf[cols])
+
+
+# --------------------------------------------------------------------
+# scans / projections / aggregates over the raw tables
+# --------------------------------------------------------------------
+
+def q_scan_corpus(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents").groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+def q_normalize(spark, sf_dir):
+    return _norm_docs(spark, sf_dir).withColumnRenamed("norm", "norm_text")
+
+
+def q_shingles(spark, sf_dir):
+    k = CFG.shingle_k
+    return _norm_docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"cast(size(array_distinct(transform("
+            f"sequence(1, greatest(1, char_length(norm) - {k - 1})),"
+            f" i -> substring(norm, i, {k})))) as bigint)"
+        ).alias("n_shingles"),
+    )
+
+
+def q_profile(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents").groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.round(F.avg("n_chars"), 3).alias("avg_chars")))
+
+
+# --------------------------------------------------------------------
+# exact-dup clustering + canonical/stats over the PORTABLE bucketing
+# --------------------------------------------------------------------
+
+def q_exact_dups(spark, sf_dir):
+    w = Window.partitionBy("key")
+    return (_norm_docs(spark, sf_dir)
+            .withColumn("key", F.md5(F.col("norm").cast("binary")))
+            .select("doc_id", F.min("doc_id").over(w).alias("exact_cluster")))
+
+
+def q_canonical(spark, sf_dir):
+    df = (_norm_docs(spark, sf_dir)
+          .withColumn("key", F.md5(F.col("norm").cast("binary")))
+          .withColumn("warc_ts", F.expr(
+              "timestampadd(SECOND, cast(doc_id * 137 as bigint),"
+              " timestamp'2025-01-01 00:00:00')"))
+          .withColumn("cluster", F.min("doc_id").over(Window.partitionBy("key"))))
+    w = Window.partitionBy("cluster").orderBy("warc_ts", "doc_id")
+    return df.select(
+        "doc_id", "cluster",
+        (F.row_number().over(w) == 1).alias("is_canonical"))
+
+
+def q_cluster_stats(spark, sf_dir):
+    sizes = (q_exact_dups(spark, sf_dir).groupBy("exact_cluster")
+             .agg(F.count(F.lit(1)).alias("n_docs")))
+    return sizes.groupBy("n_docs").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+# --------------------------------------------------------------------
+# star-edge extraction + CC, cross-checked on portable buckets/chains
+# --------------------------------------------------------------------
+
+def _portable_buckets(spark, sf_dir, prefix_len: int) -> DataFrame:
+    return (_norm_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.substring(F.md5(F.col("norm").cast("binary")), 1,
+                                prefix_len).alias("bucket")))
+
+
+def q_bucket_edges(spark, sf_dir):
+    """REAL two-level salted star-edge operator (miekki.stages.lsh)
+    over a portable bucketing + portable salt."""
+    from miekki.stages.lsh import star_edges
+
+    b = (_portable_buckets(spark, sf_dir, 2)
+         .withColumn("salt", F.pmod(F.col("doc_id"), F.lit(4)).cast("int")))
+    return star_edges(b, ["bucket"], CFG)
+
+
+def _chain_edges(spark, sf_dir) -> DataFrame:
+    """Deterministic multi-hop edges: lag(doc_id) within md5 buckets —
+    forces several large/small-star rounds (components == buckets)."""
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return (_portable_buckets(spark, sf_dir, 1)
+            .select(F.lag("doc_id").over(w).alias("src"),
+                    F.col("doc_id").alias("dst"))
+            .where(F.col("src").isNotNull()))
+
+
+def q_cc_largestar(spark, sf_dir):
+    from miekki.stages.cc import large_star
+
+    return large_star(_chain_edges(spark, sf_dir))
+
+
+def q_cc_smallstar(spark, sf_dir):
+    from miekki.stages.cc import small_star
+
+    return small_star(_chain_edges(spark, sf_dir))
+
+
+def q_cc_labels(spark, sf_dir):
+    """FULL large/small-star fixpoint on ~300-node chains; the DuckDB
+    oracle knows components == buckets, so the whole iterative CC
+    machinery is verified against min-per-bucket."""
+    from miekki.stages.cc import cc_labels
+
+    nodes = _t(spark, sf_dir, "documents").select("doc_id")
+    return cc_labels(_chain_edges(spark, sf_dir), nodes)
+
+
+# --------------------------------------------------------------------
+# generic relational coverage (SURVEY.md §2.0b) over TPC-H-ish tables
+# --------------------------------------------------------------------
+
+def q1_lineitem_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+def q3_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+             .join(li, o.o_orderkey == li.l_orderkey)
+             .groupBy("c_mktsegment")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                  F.countDistinct("o_orderkey").alias("n_orders")))
+
+
+def q_window(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_orderkey", F.row_number().over(w).alias("rn"))
+
+
+def q_topk(spark, sf_dir):
+    return (_t(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .select("o_orderkey", "o_totalprice").limit(20))
+
+
+def q_setops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    orphans = o.exceptAll(c).count()
+    active = c.intersect(o).count()
+    return (o.sparkSession.createDataFrame(
+        [(orphans, active)], "n_orphans bigint, n_active bigint"))
+
+
+def q_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+             .groupBy("event_type")
+             .agg(F.sum("k").alias("sum_k"),
+                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def q_metrics_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+                    "n"))
+
+
+# --------------------------------------------------------------------
+# pipeline queries on the fixture corpus — rows-only checks (the SQL
+# oracle can't compute xxhash64/MinHash; the Python oracle in tests/
+# pins them bit-for-bit instead)
+# --------------------------------------------------------------------
+
+def q_extract_invariant(spark, sf_dir):
+    from miekki.stages.extract import invariant_violations
+
+    return invariant_violations(_fixture_corpus_df(spark, sf_dir, with_html=True))
+
+
+def q_minhash_sig(spark, sf_dir):
+    from miekki.stages.normalize import normalize, with_shingles
+    from miekki.stages.signatures import compute_signatures
+
+    corpus = _fixture_corpus_df(spark, sf_dir)
+    return compute_signatures(with_shingles(normalize(corpus, CFG), CFG), CFG)
+
+
+def q_simhash_sig(spark, sf_dir):
+    return q_minhash_sig(spark, sf_dir).select("doc_id", "simhash")
+
+
+def q_bands(spark, sf_dir):
+    from miekki.stages.lsh import band_table
+
+    return band_table(q_minhash_sig(spark, sf_dir), CFG)
+
+
+def q_verify_jaccard(spark, sf_dir):
+    from miekki.pipeline import candidate_edges
+
+    sigs = q_minhash_sig(spark, sf_dir).localCheckpoint()
+    return candidate_edges(sigs, CFG)
+
+
+def q_dedup_pipeline(spark, sf_dir):
+    from miekki.pipeline import dedup_labels
+
+    return dedup_labels(_fixture_corpus_df(spark, sf_dir), CFG)
+
+
+def q_recall(spark, sf_dir):
+    """One-row recall/precision report vs planted truth (O24)."""
+    from miekki.pipeline import dedup_labels
+
+    corpus_pdf, truth_pairs, _ = _fixture(sf_dir)
+    labels = dedup_labels(_fixture_corpus_df(spark, sf_dir), CFG)
+    tp = spark.createDataFrame(truth_pairs)
+    lab = labels.select("doc_id", "cluster_id")
+    j = (F.broadcast(tp.where((F.col("kind") != "negative")
+                              & (F.col("jaccard") >= 0.72)))
+         .join(lab.withColumnRenamed("doc_id", "src")
+                  .withColumnRenamed("cluster_id", "c_src"), "src")
+         .join(lab.withColumnRenamed("doc_id", "dst")
+                  .withColumnRenamed("cluster_id", "c_dst"), "dst"))
+    return j.agg(
+        F.round(F.avg(F.when(F.col("c_src") == F.col("c_dst"), 1.0)
+                      .otherwise(0.0)), 4).alias("recall"),
+        F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --------------------------------------------------------------------
+# registry + DuckDB oracles
+# --------------------------------------------------------------------
+
+QUERIES: dict[str, Callable] = {
+    "scan_corpus": q_scan_corpus,
+    "normalize": q_normalize,
+    "shingles": q_shingles,
+    "profile": q_profile,
+    "exact_dups": q_exact_dups,
+    "canonical": q_canonical,
+    "cluster_stats": q_cluster_stats,
+    "bucket_edges": q_bucket_edges,
+    "cc_largestar": q_cc_largestar,
+    "cc_smallstar": q_cc_smallstar,
+    "cc_labels": q_cc_labels,
+    "q1_lineitem_agg": q1_lineitem_agg,
+    "q3_join": q3_join,
+    "q_window": q_window,
+    "q_topk": q_topk,
+    "q_setops": q_setops,
+    "q_json": q_json,
+    "metrics_rollup": q_metrics_rollup,
+    "extract_invariant": q_extract_invariant,
+    "minhash_sig": q_minhash_sig,
+    "simhash_sig": q_simhash_sig,
+    "bands": q_bands,
+    "verify_jaccard": q_verify_jaccard,
+    "dedup_pipeline": q_dedup_pipeline,
+    "recall": q_recall,
+}
+
+_NORM_CTE = f"SELECT doc_id, {_NORM_DUCK} AS norm FROM documents"
+_BUCKET1 = (f"SELECT doc_id, substr(md5(norm), 1, 1) AS bucket"
+            f" FROM ({_NORM_CTE})")
+_BUCKET2 = (f"SELECT doc_id, substr(md5(norm), 1, 2) AS bucket,"
+            f" doc_id % 4 AS salt FROM ({_NORM_CTE})")
+_CHAIN = (f"SELECT src, dst FROM (SELECT lag(doc_id) OVER"
+          f" (PARTITION BY bucket ORDER BY doc_id) AS src,"
+          f" doc_id AS dst FROM ({_BUCKET1})) WHERE src IS NOT NULL")
+
+ORACLE_SQL: dict[str, str] = {
+    "scan_corpus": (
+        "SELECT lang, count(*) AS n_docs,"
+        " CAST(sum(n_chars) AS BIGINT) AS total_chars"
+        " FROM documents GROUP BY lang"),
+    "normalize": f"SELECT doc_id, {_NORM_DUCK} AS norm_text FROM documents",
+    "shingles": (
+        "SELECT doc_id, CAST(length(list_distinct(list_transform("
+        f"generate_series(1, greatest(1, length(norm) - {CFG.shingle_k - 1})),"
+        f" i -> substr(norm, CAST(i AS INT), {CFG.shingle_k})))) AS BIGINT)"
+        f" AS n_shingles FROM ({_NORM_CTE})"),
+    "profile": (
+        "SELECT lang, count(*) AS n_docs,"
+        " CAST(count(DISTINCT source) AS BIGINT) AS n_sources,"
+        " round(avg(n_chars), 3) AS avg_chars"
+        " FROM documents GROUP BY lang"),
+    "exact_dups": (
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(norm))"
+        f" AS exact_cluster FROM ({_NORM_CTE})"),
+    "canonical": (
+        "WITH c AS (SELECT doc_id,"
+        " TIMESTAMP '2025-01-01 00:00:00' + INTERVAL (doc_id * 137) SECOND"
+        " AS warc_ts,"
+        " min(doc_id) OVER (PARTITION BY md5(norm)) AS cluster"
+        f" FROM ({_NORM_CTE}))"
+        " SELECT doc_id, cluster, (row_number() OVER (PARTITION BY cluster"
+        " ORDER BY warc_ts, doc_id)) = 1 AS is_canonical FROM c"),
+    "cluster_stats": (
+        "WITH cl AS (SELECT min(doc_id) OVER (PARTITION BY md5(norm))"
+        f" AS exact_cluster FROM ({_NORM_CTE})),"
+        " s AS (SELECT exact_cluster, count(*) AS n_docs FROM cl"
+        " GROUP BY exact_cluster)"
+        " SELECT n_docs, count(*) AS n_clusters FROM s GROUP BY n_docs"),
+    "bucket_edges": (
+        f"WITH b AS ({_BUCKET2}),"
+        " l1 AS (SELECT *, min(doc_id) OVER (PARTITION BY bucket, salt)"
+        " AS m1 FROM b),"
+        " e1 AS (SELECT m1 AS src, doc_id AS dst FROM l1 WHERE doc_id <> m1),"
+        " sm AS (SELECT DISTINCT bucket, salt, m1 FROM l1),"
+        " l2 AS (SELECT *, min(m1) OVER (PARTITION BY bucket) AS m2 FROM sm),"
+        " e2 AS (SELECT m2 AS src, m1 AS dst FROM l2 WHERE m1 <> m2)"
+        " SELECT DISTINCT src, dst FROM (SELECT * FROM e1"
+        " UNION ALL SELECT * FROM e2)"),
+    "cc_largestar": (
+        f"WITH e AS ({_CHAIN}),"
+        " sym AS (SELECT src AS u, dst AS v FROM e WHERE src <> dst"
+        " UNION SELECT dst, src FROM e WHERE src <> dst),"
+        " m AS (SELECT u, least(min(v), u) AS m FROM sym GROUP BY u)"
+        " SELECT DISTINCT s.v AS src, m.m AS dst FROM sym s"
+        " JOIN m USING (u) WHERE s.v > s.u AND s.v <> m.m"),
+    "cc_smallstar": (
+        f"WITH e0 AS ({_CHAIN}),"
+        " e AS (SELECT DISTINCT greatest(src, dst) AS u, least(src, dst) AS v"
+        " FROM e0 WHERE src <> dst),"
+        " m AS (SELECT u, min(v) AS mn FROM e GROUP BY u)"
+        " SELECT DISTINCT src, dst FROM ("
+        "  SELECT e.v AS src, m.mn AS dst FROM e JOIN m USING (u)"
+        "  UNION ALL SELECT u AS src, mn AS dst FROM m"
+        " ) WHERE src <> dst"),
+    "cc_labels": (
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY bucket) AS cluster_id"
+        f" FROM ({_BUCKET1})"),
+    "q1_lineitem_agg": (
+        "SELECT l_returnflag, l_linestatus,"
+        " round(sum(l_quantity), 2) AS sum_qty,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+        " count(*) AS n_rows FROM lineitem"
+        " WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
+        " GROUP BY l_returnflag, l_linestatus"),
+    "q3_join": (
+        "SELECT c_mktsegment,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+        " CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders"
+        " FROM customer JOIN orders ON c_custkey = o_custkey"
+        " JOIN lineitem ON o_orderkey = l_orderkey"
+        " GROUP BY c_mktsegment"),
+    "q_window": (
+        "SELECT o_orderkey, CAST(row_number() OVER (PARTITION BY o_custkey"
+        " ORDER BY o_orderdate, o_orderkey) AS INT) AS rn FROM orders"),
+    "q_topk": (
+        "SELECT o_orderkey, o_totalprice FROM orders"
+        " ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
+    "q_setops": (
+        "SELECT (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders"
+        " EXCEPT SELECT DISTINCT c_custkey FROM customer)) AS n_orphans,"
+        " (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer"
+        " INTERSECT SELECT DISTINCT o_custkey FROM orders)) AS n_active"),
+    "q_json": (
+        "SELECT event_type,"
+        " CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))"
+        " AS BIGINT) AS sum_k,"
+        " round(sum(value), 2) AS sum_value FROM events GROUP BY event_type"),
+    "metrics_rollup": (
+        "SELECT coalesce(l_returnflag, 'ALL') AS rflag,"
+        " coalesce(l_linestatus, 'ALL') AS lstatus, count(*) AS n"
+        " FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    # extract_invariant: Spark computes the real per-row byte-identity
+    # check; the oracle pins the REQUIRED answer (0 violations).
+    "extract_invariant": "SELECT CAST(0 AS BIGINT) AS n_violations",
+}

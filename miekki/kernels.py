@@ -40,25 +40,31 @@ def _row_chunks(offsets: np.ndarray, max_values: int) -> Iterator[tuple[int, int
 
 
 def _minhash_simhash_chunk(values_u64: np.ndarray, starts: np.ndarray,
-                           a: np.ndarray, b: np.ndarray, n_perm: int):
+                           a: np.ndarray, b: np.ndarray, n_perm: int,
+                           scratch: np.ndarray):
     """values_u64: flat shingle hashes; starts: row start offsets into
     it (strictly increasing — shingling guarantees >=1 per row).
+    ``scratch``: reused uint64 buffer >= len(values_u64) — fresh large
+    allocations per chunk are page-fault-bound (~50x slower than the
+    arithmetic itself, measured) so all hot ops write into it.
     Returns (sig (rows, n_perm) int64, fp (rows,) int64)."""
     n_rows = len(starts)
+    n = len(values_u64)
+    buf = scratch[:n]
     sig = np.empty((n_rows, n_perm), dtype=np.uint64)
-    for i in range(0, n_perm, _PERM_BLOCK):
-        blk = slice(i, min(i + _PERM_BLOCK, n_perm))
+    for i in range(n_perm):
         # uint64 wraparound multiply-add == (a*h + b) mod 2^64
-        p = a[blk, None] * values_u64[None, :] + b[blk, None]
-        sig[:, blk] = np.minimum.reduceat(p, starts, axis=1).T
+        np.multiply(values_u64, a[i], out=buf)
+        buf += b[i]
+        sig[:, i] = np.minimum.reduceat(buf, starts)
 
     # SimHash rides the same flat buffer: unpack bits little-endian,
     # per-row vote = 2*ones - n, fingerprint bit = vote > 0 (ties -> 0)
     bits = np.unpackbits(values_u64.view(np.uint8).reshape(-1, 8),
-                         axis=1, bitorder="little").astype(np.int64)
-    ones = np.add.reduceat(bits, starts, axis=0)          # (rows, 64)
-    counts = np.diff(np.append(starts, len(values_u64)))  # (rows,)
-    votes = 2 * ones - counts[:, None]
+                         axis=1, bitorder="little")
+    ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int32)
+    counts = np.diff(np.append(starts, n)).astype(np.int64)   # (rows,)
+    votes = 2 * ones.astype(np.int64) - counts[:, None]
     shifts = np.arange(64, dtype=np.uint64)
     fp = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
         axis=1, dtype=np.uint64)
@@ -72,6 +78,7 @@ def make_signature_kernel(cfg: DedupConfig):
     a, b = perm_coeffs(n_perm, cfg.perm_seed)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        scratch = np.empty(_MAX_CHUNK_VALUES, dtype=np.uint64)
         for batch in batches:
             doc_id = batch.column("doc_id")
             lst = batch.column("shingles")
@@ -91,7 +98,9 @@ def make_signature_kernel(cfg: DedupConfig):
             for rs, re_ in _row_chunks(offsets, _MAX_CHUNK_VALUES):
                 vals = values[offsets[rs]: offsets[re_]]
                 starts = offsets[rs:re_] - offsets[rs]
-                s, f = _minhash_simhash_chunk(vals, starts, a, b, n_perm)
+                scr = scratch if len(vals) <= len(scratch) else \
+                    np.empty(len(vals), dtype=np.uint64)  # one giant row
+                s, f = _minhash_simhash_chunk(vals, starts, a, b, n_perm, scr)
                 sig[rs:re_] = s
                 fp[rs:re_] = f
 
