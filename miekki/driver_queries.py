@@ -273,6 +273,13 @@ def q_bands(spark, sf_dir):
     return band_table(q_minhash_sig(spark, sf_dir), CFG)
 
 
+def q_simhash_pairs(spark, sf_dir):
+    from miekki.stages.simhash import simhash_candidate_edges
+
+    sigs = q_minhash_sig(spark, sf_dir).localCheckpoint()
+    return simhash_candidate_edges(sigs, CFG)
+
+
 def q_verify_jaccard(spark, sf_dir):
     from miekki.pipeline import candidate_edges
 
@@ -333,6 +340,7 @@ QUERIES: dict[str, Callable] = {
     "minhash_sig": q_minhash_sig,
     "simhash_sig": q_simhash_sig,
     "bands": q_bands,
+    "simhash_pairs": q_simhash_pairs,
     "verify_jaccard": q_verify_jaccard,
     "dedup_pipeline": q_dedup_pipeline,
     "recall": q_recall,

@@ -18,11 +18,17 @@ from miekki.stages.signatures import compute_signatures
 from miekki.stages.verify import verify_edges
 
 
-def candidate_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """T2 → verified minhash edges (T4 slice). SimHash and substring
-    passes union in here (O14) as they land."""
+def candidate_edges(signatures: DataFrame, cfg: DedupConfig,
+                    use_simhash: bool = True) -> DataFrame:
+    """T2 → verified candidate edges (T4): minhash ∪ simhash (O14);
+    the substring pass unions in at dedup_labels via extra_edges."""
     cand = minhash_candidate_edges(signatures, cfg)
-    return verify_edges(cand, signatures, cfg, origin="minhash")
+    edges = verify_edges(cand, signatures, cfg, origin="minhash")
+    if use_simhash:
+        from miekki.stages.simhash import simhash_candidate_edges
+
+        edges = edges.unionByName(simhash_candidate_edges(signatures, cfg))
+    return edges
 
 
 def dedup_labels(corpus: DataFrame, cfg: DedupConfig = DedupConfig(),

@@ -1,0 +1,67 @@
+"""O12 — SimHash candidate generation (Manku/Jain/Das Sarma WWW'07;
+SURVEY.md §2.5).
+
+Pigeonhole: Hamming(a,b) <= 3 on a 64-bit fingerprint ⇒ at least one
+of 4 contiguous 16-bit blocks is identical. Explode each doc to its
+4 (block_id, block_val) keys, bucket on them, and within a bucket
+pair each member with up to C successors in doc_id order (bounded —
+never all-pairs; hot SimHash buckets hold near-identical fingerprints
+so the successor chain keeps the component connected, and the MinHash
+path runs regardless). Buckets are salted with the same two-level
+scheme as LSH banding; level 2 chains the per-salt minima.
+
+Final edges are verified exactly: bit_count(fp_src ^ fp_dst) <= k,
+JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from miekki.config import DedupConfig
+
+
+def _block_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    width = cfg.simhash_bits // cfg.simhash_blocks
+    mask = (1 << width) - 1
+    blocks = F.expr(
+        f"transform(sequence(0, {cfg.simhash_blocks - 1}),"
+        f" j -> cast(shiftrightunsigned(simhash, j * {width}) & {mask} as int))"
+    )
+    return (signatures
+            .select("doc_id", F.posexplode(blocks).alias("block_id", "block_val"))
+            .withColumn("salt", F.pmod(F.xxhash64("doc_id"),
+                                       F.lit(cfg.salt_buckets)).cast("int")))
+
+
+def _chain_pairs(df: DataFrame, part_cols: list[str], c: int) -> DataFrame:
+    """Pair each row with its <= c successors in doc_id order within
+    the partition; linear in bucket size."""
+    w = Window.partitionBy(*part_cols).orderBy("doc_id")
+    leads = F.array(*[F.lead("doc_id", i).over(w) for i in range(1, c + 1)])
+    # window exprs can't sit inside explode's projection — materialize
+    # the lead array first, then explode
+    return (df.withColumn("leads", leads)
+              .select(F.col("doc_id").alias("src"), F.explode("leads").alias("dst"))
+              .where(F.col("dst").isNotNull()))
+
+
+def simhash_candidate_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """T2 → verified simhash edges (src < dst, origin='simhash',
+    weight = 1 - hamming/bits)."""
+    b = _block_table(signatures, cfg)
+    lvl1 = _chain_pairs(b, ["block_id", "block_val", "salt"], cfg.simhash_chain)
+    salt_mins = (b.groupBy("block_id", "block_val", "salt")
+                  .agg(F.min("doc_id").alias("doc_id")))
+    lvl2 = _chain_pairs(salt_mins, ["block_id", "block_val"], cfg.simhash_chain)
+    cand = lvl1.unionByName(lvl2).dropDuplicates(["src", "dst"])
+
+    fp = signatures.select("doc_id", "simhash")
+    s = fp.withColumnRenamed("doc_id", "src").withColumnRenamed("simhash", "fp_src")
+    d = fp.withColumnRenamed("doc_id", "dst").withColumnRenamed("simhash", "fp_dst")
+    ham = F.bit_count(F.expr("fp_src ^ fp_dst"))
+    return (cand.join(s, "src").join(d, "dst")
+            .withColumn("hamming", ham)
+            .where(F.col("hamming") <= cfg.hamming_max)
+            .select("src", "dst", F.lit("simhash").alias("origin"),
+                    (1.0 - F.col("hamming") / cfg.simhash_bits).alias("weight")))
