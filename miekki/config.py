@@ -59,6 +59,11 @@ class DedupConfig:
             raise ValueError("bands * rows_per_band must equal n_perm")
         if self.simhash_bits % self.simhash_blocks != 0:
             raise ValueError("simhash_bits must divide into equal blocks")
+        # winnowing guarantee (Schleimer'03): every common run of
+        # >= winnow_w + anchor_k - 1 bytes shares an anchor; that
+        # bound must not exceed the dup threshold L
+        if self.winnow_w + self.anchor_k - 1 > self.substr_len:
+            raise ValueError("winnow_w + anchor_k - 1 must be <= substr_len")
 
 
 DEFAULT = DedupConfig()

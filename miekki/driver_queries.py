@@ -280,6 +280,14 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_candidate_edges(sigs, CFG)
 
 
+def q_substr_pairs(spark, sf_dir):
+    from miekki.stages.normalize import normalize
+    from miekki.stages.substr import substr_candidate_edges
+
+    docs = normalize(_fixture_corpus_df(spark, sf_dir), CFG).localCheckpoint()
+    return substr_candidate_edges(docs, CFG)
+
+
 def q_verify_jaccard(spark, sf_dir):
     from miekki.pipeline import candidate_edges
 
@@ -341,6 +349,7 @@ QUERIES: dict[str, Callable] = {
     "simhash_sig": q_simhash_sig,
     "bands": q_bands,
     "simhash_pairs": q_simhash_pairs,
+    "substr_pairs": q_substr_pairs,
     "verify_jaccard": q_verify_jaccard,
     "dedup_pipeline": q_dedup_pipeline,
     "recall": q_recall,

@@ -32,15 +32,22 @@ def candidate_edges(signatures: DataFrame, cfg: DedupConfig,
 
 
 def dedup_labels(corpus: DataFrame, cfg: DedupConfig = DedupConfig(),
-                 extra_edges: list[DataFrame] | None = None) -> DataFrame:
+                 extra_edges: list[DataFrame] | None = None,
+                 use_simhash: bool = True,
+                 use_substr: bool = True) -> DataFrame:
     """corpus (url, warc_ts, text, lang[, html]) → labels
     (doc_id, cluster_id, url, warc_ts, is_canonical)."""
     docs = normalize(corpus, cfg)
     # signatures feed three consumers (banding + both verify joins):
     # materialize once instead of recomputing the Arrow kernel 3x.
     # pipeline.run() checkpoints T2 to the catalog instead (O23).
+    docs = docs.localCheckpoint()
     sigs = compute_signatures(with_shingles(docs, cfg), cfg).localCheckpoint()
-    edges = candidate_edges(sigs, cfg)
+    edges = candidate_edges(sigs, cfg, use_simhash=use_simhash)
+    if use_substr:
+        from miekki.stages.substr import substr_candidate_edges
+
+        edges = edges.unionByName(substr_candidate_edges(docs, cfg))
     for ex in extra_edges or []:
         edges = edges.unionByName(ex, allowMissingColumns=True)
     edge_pairs = edges.select("src", "dst").dropDuplicates(["src", "dst"])

@@ -1,0 +1,146 @@
+"""O13 — exact-substring (containment) pass (SURVEY.md §2.6).
+
+Flags doc pairs sharing >= L contiguous bytes of normalized text —
+the dups MinHash misses (a page embedded in a larger page has low
+Jaccard). Spark-native re-expression of the suffix-array approach:
+
+  1. winnowing anchors per doc (Arrow kernel, miekki.substr_kernels)
+  2. explode to a fingerprint table (fp, doc_id, pos) — streamed,
+     never checkpointed (the big intermediate at corpus scale)
+  3. salted chain-pair candidate generation per fp bucket (bounded,
+     never all-pairs; carries anchor positions through)
+  4. exact byte-extension verification around <= A anchors per pair
+     (Arrow kernel; the anchor window is byte-compared, so hash
+     collisions cannot create false edges)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window, functions as F
+
+from miekki.config import DedupConfig
+from miekki.substr_kernels import common_run_length, doc_anchors
+
+ANCHOR_SCHEMA = "doc_id long, fp long, pos int"
+VERIFY_SCHEMA = "src long, dst long, run_len int"
+
+MAX_ANCHORS_PER_PAIR = 4
+CHAIN_SUCCESSORS = 2
+
+
+def _string_rows(arr: pa.Array):
+    if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
+        arr = arr.combine_chunks()
+    return arr
+
+
+def make_anchor_kernel(cfg: DedupConfig):
+    k, w = cfg.anchor_k, cfg.winnow_w
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = _string_rows(batch.column("norm_text"))
+            out_ids, out_fps, out_pos = [], [], []
+            for i in range(len(texts)):
+                fps, pos = doc_anchors(texts[i].as_py(), k, w)
+                if len(fps):
+                    out_ids.append(np.full(len(fps), doc_id[i], dtype=np.int64))
+                    out_fps.append(fps)
+                    out_pos.append(pos)
+            if not out_ids:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_ids)),
+                 pa.array(np.concatenate(out_fps)),
+                 pa.array(np.concatenate(out_pos))],
+                names=["doc_id", "fp", "pos"])
+
+    return kernel
+
+
+def anchor_table(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(doc_id, norm_text) → (doc_id, fp, pos); one anchor per
+    (doc, fp) (min pos)."""
+    anchors = docs_norm.select("doc_id", "norm_text").mapInArrow(
+        make_anchor_kernel(cfg), ANCHOR_SCHEMA)
+    return anchors.groupBy("doc_id", "fp").agg(F.min("pos").alias("pos"))
+
+
+def _chain_pairs_with_pos(df: DataFrame, part_cols: list[str]) -> DataFrame:
+    """Within each fp bucket, pair each (doc,pos) with its <= C
+    successors in doc_id order — linear, position-carrying."""
+    w = Window.partitionBy(*part_cols).orderBy("doc_id")
+    leads = F.array(*[
+        F.lead(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p")), i).over(w)
+        for i in range(1, CHAIN_SUCCESSORS + 1)])
+    return (df.withColumn("leads", leads)
+              .select(F.col("doc_id").alias("src"), F.col("pos").alias("src_pos"),
+                      F.explode("leads").alias("nxt"))
+              .where(F.col("nxt").isNotNull())
+              .select("src", "src_pos",
+                      F.col("nxt.d").alias("dst"), F.col("nxt.p").alias("dst_pos")))
+
+
+def candidate_anchor_pairs(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """fp table → (src, dst, src_pos, dst_pos), salted two-level,
+    <= MAX_ANCHORS_PER_PAIR rows per pair."""
+    salted = anchors.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets)).cast("int"))
+    lvl1 = _chain_pairs_with_pos(salted, ["fp", "salt"])
+    mins = (salted.groupBy("fp", "salt")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("m"))
+            .select("fp", F.col("m.doc_id").alias("doc_id"), F.col("m.pos").alias("pos")))
+    lvl2 = _chain_pairs_with_pos(mins, ["fp"])
+    pairs = lvl1.unionByName(lvl2).where(F.col("src") != F.col("dst"))
+    w = Window.partitionBy("src", "dst").orderBy("src_pos", "dst_pos")
+    return (pairs.withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") <= MAX_ANCHORS_PER_PAIR).drop("rn"))
+
+
+def make_verify_kernel(cfg: DedupConfig):
+    k = cfg.anchor_k
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            spos = batch.column("src_pos").to_numpy(zero_copy_only=False)
+            dpos = batch.column("dst_pos").to_numpy(zero_copy_only=False)
+            ta = _string_rows(batch.column("t_src"))
+            tb = _string_rows(batch.column("t_dst"))
+            runs = np.empty(len(src), dtype=np.int32)
+            for i in range(len(src)):
+                runs[i] = common_run_length(
+                    ta[i].as_py().encode("utf-8"), tb[i].as_py().encode("utf-8"),
+                    int(spos[i]), int(dpos[i]), k)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(src), pa.array(dst), pa.array(runs)],
+                names=["src", "dst", "run_len"])
+
+    return kernel
+
+
+def substr_candidate_edges(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """T1 → verified containment edges (origin='substr',
+    weight=run_len). Docs shorter than anchor_k bytes can't qualify
+    (run <= doc length < L) and produce no anchors."""
+    anchors = anchor_table(docs_norm, cfg)
+    pairs = candidate_anchor_pairs(anchors, cfg)
+    texts = docs_norm.select("doc_id", "norm_text")
+    joined = (pairs
+              .join(texts.withColumnRenamed("doc_id", "src")
+                         .withColumnRenamed("norm_text", "t_src"), "src")
+              .join(texts.withColumnRenamed("doc_id", "dst")
+                         .withColumnRenamed("norm_text", "t_dst"), "dst")
+              .select("src", "dst", "src_pos", "dst_pos", "t_src", "t_dst"))
+    verified = joined.mapInArrow(make_verify_kernel(cfg), VERIFY_SCHEMA)
+    return (verified.where(F.col("run_len") >= cfg.substr_len)
+            .groupBy("src", "dst")
+            .agg(F.max("run_len").alias("run_len"))
+            .select("src", "dst", F.lit("substr").alias("origin"),
+                    F.col("run_len").cast("double").alias("weight")))

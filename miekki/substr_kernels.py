@@ -1,0 +1,118 @@
+"""Numpy kernels for the exact-substring pass (SURVEY.md §2.6;
+Schleimer/Wilkerson/Aiken SIGMOD'03 winnowing; Lee et al. ACL'22
+ExactSubstr criterion).
+
+Pinned semantics (part of DedupConfig's frozen spec):
+  - rolling hash: polynomial Rabin-Karp over UTF-8 bytes of norm_text,
+    base B (odd -> invertible mod 2^64), uint64 wraparound, finalized
+    with the xxh64 avalanche mix (spreads low-entropy poly hashes so
+    winnowing minima are uniform)
+  - winnowing: in every window of w consecutive k2-byte window hashes
+    keep the LEFTMOST minimum; selected set deduped. Guarantee: any
+    common run of >= w + k2 - 1 bytes shares >= 1 selected anchor in
+    both copies (config asserts w + k2 - 1 <= L)
+  - verification: extend byte-wise left/right from the anchor pair;
+    the anchor window itself is compared exactly, so rolling-hash
+    collisions cannot create false edges
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ROLL_BASE = np.uint64(1099511628211)          # FNV64 prime (odd)
+_ROLL_BASE_INV = np.uint64(pow(1099511628211, -1, 2**64))
+_MIX1 = np.uint64(0xC2B2AE3D27D4EB4F)
+_MIX2 = np.uint64(0x165667B19E3779F9)
+
+
+def fmix64(h: np.ndarray) -> np.ndarray:
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= _MIX1
+    h ^= h >> np.uint64(29)
+    h *= _MIX2
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """uint64 hash of every k-byte window of ``data`` (uint8 array);
+    length len(data)-k+1; empty if data shorter than k.
+
+    H_i = fmix64( sum_{t<k} data[i+t] * B^t )  via the prefix trick
+    S[i] = sum_{j<i} data[j]*B^j  =>  H_i = (S[i+k]-S[i]) * B^{-i}.
+    """
+    n = len(data)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    b = data.astype(np.uint64)
+    pow_b = np.empty(n, dtype=np.uint64)
+    pow_b[0] = 1
+    np.multiply.accumulate(np.full(n - 1, ROLL_BASE, dtype=np.uint64),
+                           out=pow_b[1:])
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.add.accumulate(b * pow_b, out=s[1:])
+    pow_binv = np.empty(n - k + 1, dtype=np.uint64)
+    pow_binv[0] = 1
+    if n - k > 0:
+        np.multiply.accumulate(np.full(n - k, _ROLL_BASE_INV, dtype=np.uint64),
+                               out=pow_binv[1:])
+    return fmix64((s[k:] - s[:-k]) * pow_binv)
+
+
+def winnow_positions(h: np.ndarray, w: int) -> np.ndarray:
+    """Leftmost-min winnowing: for every window of w consecutive hash
+    positions pick argmin (ties -> leftmost), return the deduped
+    selected positions. O(n log w) via a sparse argmin table."""
+    n = len(h)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n <= w:
+        return np.array([int(np.argmin(h))], dtype=np.int64)
+    val = h
+    idx = np.arange(n, dtype=np.int64)
+    span = 1
+    while span * 2 <= w:
+        left_v, right_v = val[:-span], val[span:]
+        left_i, right_i = idx[:-span], idx[span:]
+        take_left = left_v <= right_v            # tie -> leftmost
+        val = np.where(take_left, left_v, right_v)
+        idx = np.where(take_left, left_i, right_i)
+        span *= 2
+    # combine two spans covering each w-window: [t, t+span) and
+    # [t+w-span, t+w)
+    off = w - span
+    a_v, b_v = val[: n - w + 1], val[off: off + n - w + 1]
+    a_i, b_i = idx[: n - w + 1], idx[off: off + n - w + 1]
+    take_a = a_v <= b_v
+    chosen = np.where(take_a, a_i, b_i)
+    return np.unique(chosen)
+
+
+def doc_anchors(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """(fingerprints int64, byte positions int32) of one document."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    h = rolling_hashes(data, k)
+    pos = winnow_positions(h, w)
+    return h[pos].view(np.int64), pos.astype(np.int32)
+
+
+def common_run_length(a: bytes, b: bytes, pa: int, pb: int, k: int) -> int:
+    """Length of the maximal common byte run around anchor pair
+    (pa, pb); 0 if the k-byte anchor windows differ (hash collision)."""
+    av = np.frombuffer(a, dtype=np.uint8)
+    bv = np.frombuffer(b, dtype=np.uint8)
+    if not np.array_equal(av[pa: pa + k], bv[pb: pb + k]):
+        return 0
+    lmax = min(pa, pb)
+    la = av[pa - lmax: pa][::-1]
+    lb = bv[pb - lmax: pb][::-1]
+    neq = np.nonzero(la != lb)[0]
+    ext_l = int(neq[0]) if neq.size else lmax
+    ra = av[pa + k:]
+    rb = bv[pb + k:]
+    rmax = min(len(ra), len(rb))
+    neq = np.nonzero(ra[:rmax] != rb[:rmax])[0]
+    ext_r = int(neq[0]) if neq.size else rmax
+    return ext_l + k + ext_r

@@ -79,11 +79,12 @@ def pipeline_result(spark, corpus_df):
     from miekki.pipeline import candidate_edges, dedup_labels
     from miekki.stages.normalize import normalize, with_shingles
     from miekki.stages.signatures import compute_signatures
+    from miekki.stages.substr import substr_candidate_edges
 
     cfg = DedupConfig()
     labels_pdf = dedup_labels(corpus_df, cfg).toPandas()
-    sigs = compute_signatures(
-        with_shingles(normalize(corpus_df, cfg), cfg), cfg
-    ).localCheckpoint()
-    edges_pdf = candidate_edges(sigs, cfg).toPandas()
-    return labels_pdf, edges_pdf
+    docs = normalize(corpus_df, cfg).localCheckpoint()
+    sigs = compute_signatures(with_shingles(docs, cfg), cfg).localCheckpoint()
+    edges = candidate_edges(sigs, cfg).unionByName(
+        substr_candidate_edges(docs, cfg))
+    return labels_pdf, edges.toPandas()
