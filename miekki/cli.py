@@ -1,0 +1,103 @@
+"""spark-submit entry point (SURVEY.md §3.3; BASELINE.json north_rule
+"run via spark-submit --py-files").
+
+  spark-submit --py-files miekki.zip miekki/cli.py run \
+      --catalog-root /data/miekki --corpus corpus --run-id R1
+  spark-submit ... miekki/cli.py run --catalog iceberg \
+      --namespace warehouse.dedup --corpus db.corpus --run-id R1
+  python -m miekki.cli ingest --sf-dir /root/testdata/sf0.1 \
+      --catalog-root /tmp/cat          # sandbox: fixture corpus → catalog
+  python -m miekki.cli bench-scaling   # local[N] vs local[4N] protocol
+
+On a real cluster the session comes from spark-submit's conf; locally
+build_spark supplies local[N] defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _get_spark(args):
+    from miekki.session import build_spark
+
+    return build_spark(master=args.master, app_name="miekki-cli",
+                       shuffle_partitions=args.shuffle_partitions,
+                       extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+
+def _get_catalog(spark, args):
+    from miekki.catalog import HadoopCatalog, IcebergCatalog
+
+    if args.catalog == "iceberg":
+        return IcebergCatalog(spark, args.namespace)
+    return HadoopCatalog(spark, args.catalog_root)
+
+
+def cmd_ingest(args):
+    """Sandbox helper: synthesize the fixture corpus from an sf dir
+    and register it as the catalog's `corpus` table."""
+    from miekki.fixtures import write_fixture
+
+    spark = _get_spark(args)
+    cat = _get_catalog(spark, args)
+    paths = write_fixture(args.sf_dir, args.catalog_root + "/_fixture_src")
+    df = spark.read.parquet(paths["corpus"])
+    if args.partitions:
+        df = df.repartition(args.partitions)
+    cat.overwrite("corpus", df, run_id="ingest")
+    print(json.dumps({"ingested": cat.read("corpus").count()}))
+
+
+def cmd_run(args):
+    from miekki.config import DedupConfig
+    from miekki.pipeline import run
+
+    spark = _get_spark(args)
+    cat = _get_catalog(spark, args)
+    cfg = DedupConfig()
+    t0 = time.time()
+    res = run(spark, cat, cfg, run_id=args.run_id,
+              corpus_table=args.corpus,
+              check_invariant=args.check_invariant)
+    print(json.dumps({
+        "run_id": args.run_id,
+        "n_docs": res["n_docs"],
+        "executed": res["executed"],
+        "skipped": res["skipped"],
+        "wall_sec": round(time.time() - t0, 2),
+        "config_hash": cfg.config_hash()[:12],
+    }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="miekki")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--master", default=None)
+    common.add_argument("--shuffle-partitions", type=int, default=None)
+    common.add_argument("--catalog", choices=["hadoop", "iceberg"],
+                        default="hadoop")
+    common.add_argument("--catalog-root", default="/tmp/miekki_catalog")
+    common.add_argument("--namespace", default="miekki")
+
+    pi = sub.add_parser("ingest", parents=[common])
+    pi.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    pi.add_argument("--partitions", type=int, default=96)
+    pi.set_defaults(fn=cmd_ingest)
+
+    pr = sub.add_parser("run", parents=[common])
+    pr.add_argument("--run-id", default="run0")
+    pr.add_argument("--corpus", default="corpus")
+    pr.add_argument("--check-invariant", action="store_true")
+    pr.set_defaults(fn=cmd_run)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

