@@ -95,8 +95,11 @@ def main():
                         extra_conf={"spark.ui.showConsoleProgress": "false"})
     # the cached corpus is one small parquet file (< maxPartitionBytes
     # = 1 split); real corpora arrive as thousands of splits — emulate
-    # that with an explicit repartition so all cores participate
-    corpus = spark.read.parquet(corpus_path).repartition(int(cpus) * 3)
+    # that with an explicit repartition so all cores participate.
+    # FIXED partition count (not cpus-derived) so the scaling protocol
+    # varies parallelism only (BASELINE.md §scaling)
+    n_parts = int(os.environ.get("MIEKKI_BENCH_PARTITIONS", "96"))
+    corpus = spark.read.parquet(corpus_path).repartition(n_parts)
     # warm the JVM/python workers so stage timings measure compute
     corpus.count()
     corpus = corpus.localCheckpoint()
@@ -109,15 +112,16 @@ def main():
         timings[name] = round(time.time() - t0, 2)
         return result
 
-    # stage benches (each materialized via count to bound the stage)
-    docs_n = normalize(corpus, cfg)
-    shing = with_shingles(docs_n, cfg)
-    timed("shingle", lambda: shing.select(
-        "doc_id", "n_shingles").agg({"n_shingles": "sum"}).collect())
-    sigs = compute_signatures(shing, cfg)
-    timed("signatures", lambda: sigs.count())
-    sigs_ck = compute_signatures(shing, cfg).localCheckpoint()
-    timed("lsh_verify_edges", lambda: candidate_edges(sigs_ck, cfg).count())
+    # stage benches (skipped in scaling mode — only e2e matters there)
+    if not os.environ.get("MIEKKI_BENCH_E2E_ONLY"):
+        docs_n = normalize(corpus, cfg)
+        shing = with_shingles(docs_n, cfg)
+        timed("shingle", lambda: shing.select(
+            "doc_id", "n_shingles").agg({"n_shingles": "sum"}).collect())
+        sigs = compute_signatures(shing, cfg)
+        timed("signatures", lambda: sigs.count())
+        sigs_ck = compute_signatures(shing, cfg).localCheckpoint()
+        timed("lsh_verify_edges", lambda: candidate_edges(sigs_ck, cfg).count())
 
     # headline: cold end-to-end (re-runs everything incl. CC)
     t0 = time.time()
@@ -125,9 +129,11 @@ def main():
     e2e = round(time.time() - t0, 2)
     timings["dedup_e2e"] = e2e
 
-    from miekki.driver_queries import q1_lineitem_agg, q3_join
-    timed("q1_lineitem_agg", lambda: q1_lineitem_agg(spark, sf_dir).collect())
-    timed("q3_join", lambda: q3_join(spark, sf_dir).collect())
+    if not os.environ.get("MIEKKI_BENCH_E2E_ONLY"):
+        from miekki.driver_queries import q1_lineitem_agg, q3_join
+
+        timed("q1_lineitem_agg", lambda: q1_lineitem_agg(spark, sf_dir).collect())
+        timed("q3_join", lambda: q3_join(spark, sf_dir).collect())
 
     spark.stop()
     assert n_labels == n_docs, (n_labels, n_docs)

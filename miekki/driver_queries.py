@@ -322,6 +322,116 @@ def q_recall(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# training-data extras: text analysis, similarity search, multimodal
+# --------------------------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    from miekki.textstats import predict_lang
+
+    return (_norm_docs(spark, sf_dir)
+            .select("doc_id", predict_lang("norm").alias("pred_lang")))
+
+
+def q_quality(spark, sf_dir):
+    from miekki.textstats import quality_columns
+
+    df = _norm_docs(spark, sf_dir)
+    cols = quality_columns("norm")
+    return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-3gram Jaccard between consecutive doc ids — the exact
+    n-gram-overlap primitive, deterministically paired so DuckDB can
+    verify it (the scale path for unknown pairs is the MinHash
+    pipeline)."""
+    docs = _norm_docs(spark, sf_dir)
+    g = docs.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform("
+            " sequence(1, greatest(1, size(split(norm, ' ')) - 2)),"
+            " i -> concat_ws(' ', slice(split(norm, ' '), i, 3))))"
+        ).alias("grams"))
+    a = g.select(F.col("doc_id").alias("src"), F.col("grams").alias("ga"))
+    b = g.select((F.col("doc_id") - 1).alias("src"), F.col("grams").alias("gb"))
+    return (a.join(b, "src")
+            .select("src",
+                    F.round(F.size(F.array_intersect("ga", "gb"))
+                            / F.size(F.array_union("ga", "gb")), 4)
+                    .alias("jaccard_w3")))
+
+
+def _emb(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings")
+
+
+def q_embedding_norms(spark, sf_dir):
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.expr(
+            "sqrt(aggregate(transform(embedding, x -> cast(x as double)),"
+            " 0D, (a, x) -> a + x * x))"), 4).alias("l2_norm"))
+
+
+def q_ann_brute(spark, sf_dir):
+    from miekki.embeddings import brute_force_topk
+
+    vecs = _emb(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 20)
+    return brute_force_topk(vecs, queries, k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from miekki.embeddings import lsh_topk
+
+    vecs = _emb(spark, sf_dir).localCheckpoint()
+    queries = vecs.where(F.col("vec_id") < 20)
+    return lsh_topk(vecs, queries, k=5)
+
+
+def q_embedding_dedup(spark, sf_dir):
+    from miekki.embeddings import embedding_dedup_edges
+
+    return embedding_dedup_edges(_emb(spark, sf_dir), threshold=0.95)
+
+
+def _media(spark, sf_dir):
+    from miekki.multimodal import synthesize_media
+
+    return synthesize_media(_t(spark, sf_dir, "documents"))
+
+
+def q_media_decode(spark, sf_dir):
+    from miekki.multimodal import decode_media
+
+    return decode_media(_media(spark, sf_dir))
+
+
+def q_media_features(spark, sf_dir):
+    from miekki.multimodal import media_features
+
+    return media_features(_media(spark, sf_dir))
+
+
+def q_media_frames(spark, sf_dir):
+    from miekki.multimodal import sample_frames
+
+    return sample_frames(_media(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from miekki.stages.substr import anchor_table
+
+    docs = _norm_docs(spark, sf_dir).withColumnRenamed("norm", "norm_text")
+    return (anchor_table(docs, CFG)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_anchors"),
+                 F.min("fp").alias("min_fp")))
+
+
+# --------------------------------------------------------------------
 # registry + DuckDB oracles
 # --------------------------------------------------------------------
 
@@ -353,6 +463,18 @@ QUERIES: dict[str, Callable] = {
     "verify_jaccard": q_verify_jaccard,
     "dedup_pipeline": q_dedup_pipeline,
     "recall": q_recall,
+    # training-data extras
+    "lang_id": q_lang_id,
+    "quality_score": q_quality,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_norms": q_embedding_norms,
+    "ann_brute": q_ann_brute,
+    "ann_lsh": q_ann_lsh,
+    "embedding_dedup": q_embedding_dedup,
+    "media_decode": q_media_decode,
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,
+    "doc_fingerprint": q_doc_fingerprint,
 }
 
 _NORM_CTE = f"SELECT doc_id, {_NORM_DUCK} AS norm FROM documents"
@@ -464,3 +586,32 @@ ORACLE_SQL: dict[str, str] = {
     # check; the oracle pins the REQUIRED answer (0 violations).
     "extract_invariant": "SELECT CAST(0 AS BIGINT) AS n_violations",
 }
+
+
+def _extras_oracle_sql() -> dict[str, str]:
+    from miekki.textstats import lang_id_duck_sql, quality_duck_cols
+
+    return {
+        "lang_id": (f"SELECT doc_id, {lang_id_duck_sql('norm')} AS pred_lang"
+                    f" FROM ({_NORM_CTE})"),
+        "quality_score": (f"SELECT doc_id, {quality_duck_cols('norm')}"
+                          f" FROM ({_NORM_CTE})"),
+        "ngram_jaccard": (
+            "WITH g AS (SELECT doc_id, list_distinct(list_transform("
+            " generate_series(1, greatest(1, length(str_split(norm, ' ')) - 2)),"
+            " i -> array_to_string(list_slice(str_split(norm, ' '), i, i + 2),"
+            " ' '))) AS grams"
+            f" FROM ({_NORM_CTE}))"
+            " SELECT a.doc_id AS src,"
+            " round(length(list_intersect(a.grams, b.grams))"
+            " / length(list_distinct(a.grams || b.grams)), 4) AS jaccard_w3"
+            " FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"),
+        "embedding_norms": (
+            "SELECT vec_id, CAST(length(embedding) AS INT) AS dim,"
+            " round(sqrt(list_aggregate(list_transform(embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)"
+            " AS l2_norm FROM embeddings"),
+    }
+
+
+ORACLE_SQL.update(_extras_oracle_sql())

@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (array<float>) — the
+ANN components a training-data pipeline needs at corpus scale.
+
+- ``brute_force_topk``: exact cosine top-k of every query vector
+  against the corpus — broadcast the (small) query set, JVM-side
+  zip_with/aggregate dot products, rank with one window. The
+  correctness baseline.
+- ``lsh_topk``: random-hyperplane (sign) LSH — vectors hash to
+  2^n_planes sign buckets; top-k searched within the query's bucket
+  (+ optional 1-bit multiprobe). The scale path: shuffle-on-bucket,
+  never all-pairs; recall measured against brute force in tests.
+- ``embedding_dedup_edges``: cosine >= threshold pairs inside LSH
+  buckets → near-dup edges, same (src<dst, origin, weight) shape the
+  text pipeline uses, so they union straight into the edge table.
+
+All math is done in double (float32 parquet values upcast) so results
+are deterministic across partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+COS = ("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+       " / (norm_a * norm_b)")
+
+
+def _with_norm(df: DataFrame, vec_col: str, out_vec: str, out_norm: str) -> DataFrame:
+    v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    return (df.withColumn(out_vec, v)
+              .withColumn(out_norm, F.expr(
+                  f"sqrt(aggregate({out_vec}, 0D, (a, x) -> a + x * x))"))
+              .where(F.col(out_norm) > 0))
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — exact top-k by cosine,
+    self-match excluded; ties broken by neighbor id."""
+    cand = _with_norm(vectors, vec_col, "vb", "norm_b") \
+        .select(F.col(id_col).alias("neighbor_id"), "vb", "norm_b")
+    q = _with_norm(queries, vec_col, "va", "norm_a") \
+        .select(F.col(id_col).alias("query_id"), "va", "norm_a")
+    scored = (cand.join(F.broadcast(q))
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine", F.expr(COS)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (part of the pinned config)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_col(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Sign-bucket id: bit j = (v . h_j) > 0, folded into an int."""
+    terms = []
+    for j, h in enumerate(planes):
+        arr = "array(" + ", ".join(f"{x!r}D" for x in h) + ")"
+        dot = (f"aggregate(zip_with({vec_col}, {arr}, (x, y) ->"
+               f" cast(x as double) * y), 0D, (a, x) -> a + x)")
+        terms.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def _probe_masks(n_planes: int, bits: int) -> list[int]:
+    """XOR masks for every bucket within Hamming<=bits of the query's
+    bucket (0-, 1-, and 2-bit flips)."""
+    masks = [0]
+    if bits >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if bits >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return masks
+
+
+def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 8, dim: int | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             multiprobe_bits: int = 2) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign bucket or
+    any bucket within Hamming<=multiprobe_bits of it — the classic
+    multiprobe trick that recovers most of the recall a single bucket
+    loses while still scanning a small corpus fraction. Defaults
+    (8 planes, 2-bit probes) scan ~14% of buckets; clustered
+    real-world embeddings do far better than the uniform-sphere
+    worst case."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+
+    cand = (_with_norm(vectors, vec_col, "vb", "norm_b")
+            .withColumn("bucket", _bucket_col(vec_col, planes))
+            .select(F.col(id_col).alias("neighbor_id"), "vb", "norm_b", "bucket"))
+    q = (_with_norm(queries, vec_col, "va", "norm_a")
+         .withColumn("bucket0", _bucket_col(vec_col, planes))
+         .select(F.col(id_col).alias("query_id"), "va", "norm_a", "bucket0"))
+    probes = [F.expr(f"int(bucket0) ^ {m}").cast("int")
+              for m in _probe_masks(n_planes, multiprobe_bits)]
+    q = (q.withColumn("bucket", F.explode(F.array(*probes)))
+          .drop("bucket0"))
+
+    scored = (cand.join(F.broadcast(q), "bucket")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine", F.expr(COS))
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
+
+
+def embedding_dedup_edges(vectors: DataFrame, threshold: float = 0.98,
+                          n_planes: int = 12, dim: int | None = None,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pass: bucket by sign-LSH, pair each
+    vector with its successors inside the bucket (bounded, same shape
+    as the text passes), keep cosine >= threshold."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    v = (_with_norm(vectors, vec_col, "vb", "norm_b")
+         .withColumn("bucket", _bucket_col(vec_col, planes))
+         .select(F.col(id_col).alias("doc_id"), "vb", "norm_b", "bucket"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    leads = F.array(*[F.lead(F.struct("doc_id", "vb", "norm_b"), i).over(w)
+                      for i in range(1, 9)])
+    pairs = (v.withColumn("leads", leads)
+             .select(F.col("doc_id").alias("src"),
+                     F.col("vb").alias("va"), F.col("norm_b").alias("norm_a"),
+                     F.explode("leads").alias("nxt"))
+             .where(F.col("nxt").isNotNull())
+             .select("src", "va", "norm_a",
+                     F.col("nxt.doc_id").alias("dst"),
+                     F.col("nxt.vb").alias("vb"),
+                     F.col("nxt.norm_b").alias("norm_b")))
+    return (pairs.withColumn("cosine", F.expr(COS))
+            .where(F.col("cosine") >= threshold)
+            .select("src", "dst", F.lit("embedding").alias("origin"),
+                    F.col("cosine").alias("weight")))

@@ -1,0 +1,142 @@
+"""Multimodal column plumbing for training-data pipelines.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata. The Spark-side plumbing — schema, Arrow batch shape,
+partitioning, 1→N frame fan-out — is real and tested; the actual
+codec work is STUBBED: the image/audio libraries are not in this
+container, so ``decode_media`` produces a deterministic fake decode
+derived from the payload bytes (and ``require_real_codecs()`` raises
+NotImplementedError where a production deployment would plug in
+PIL/ffmpeg via the same mapInPandas seams).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from oracle.xxh64 import xxh64_bytes
+
+MEDIA_SCHEMA = ("media_id long, kind string, payload binary,"
+                " meta map<string,string>")
+DECODED_SCHEMA = ("media_id long, kind string, width int, height int,"
+                  " n_channels int, n_frames int, ok boolean")
+FEATURE_DIM = 8
+FEATURES_SCHEMA = f"media_id long, features array<double>"
+FRAMES_SCHEMA = ("media_id long, frame_idx int, frame_payload binary,"
+                 " frame_hash long")
+
+_HAVE_CODECS = False
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+
+    _HAVE_CODECS = True
+except ImportError:
+    pass
+
+
+def require_real_codecs() -> None:
+    """Production decode path — unavailable in this sandbox."""
+    if not _HAVE_CODECS:
+        raise NotImplementedError(
+            "real image/audio codecs are not installed in this container;"
+            " the pipeline uses the deterministic fake decode instead")
+
+
+def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, int]:
+    """Deterministic pseudo-decode: dimensions derived from the
+    payload hash — stable across partitionings and runs."""
+    h = xxh64_bytes(payload, 0)
+    width = 16 + (h & 0x3FF)
+    height = 16 + ((h >> 10) & 0x3FF)
+    channels = 1 + ((h >> 20) & 0x3)
+    frames = 1 if kind != "video" else 2 + ((h >> 22) & 0x7)
+    return int(width), int(height), int(channels), int(frames)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Fixture media table from the documents corpus: text bytes as
+    opaque payloads with a deterministic kind per doc (no external
+    data, per the graft rules)."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"))
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source"),
+                     F.lit("lang"), F.col("lang")).alias("meta"))
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: binary payload → typed dimensions.
+    Batches arrive as pandas DataFrames over Arrow; nothing row-wise
+    crosses the JVM/Python boundary."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_fake_decode(p, k) for p, k in zip(pdf.payload, pdf.kind)]
+            arr = np.array(dims, dtype=np.int64).reshape(len(pdf), 4)
+            yield pd.DataFrame({
+                "media_id": pdf.media_id,
+                "kind": pdf.kind,
+                "width": arr[:, 0].astype(np.int32),
+                "height": arr[:, 1].astype(np.int32),
+                "n_channels": arr[:, 2].astype(np.int32),
+                "n_frames": arr[:, 3].astype(np.int32),
+                "ok": np.ones(len(pdf), dtype=bool),
+            })
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        fn, DECODED_SCHEMA)
+
+
+def _features_fn(payload: pd.Series) -> pd.Series:
+    """Vectorized feature stub: FEATURE_DIM doubles seeded by the
+    payload hash (a real deployment swaps in an encoder here; the
+    Arrow batch shape — Series[bytes] in, Series[list[float]] out —
+    is exactly what a vectorized encoder needs)."""
+    out = []
+    for p in payload:
+        rng = np.random.Generator(np.random.PCG64(xxh64_bytes(p, 0)))
+        out.append(rng.standard_normal(FEATURE_DIM))
+    return pd.Series(out)
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    # the pandas_udf is built here, not at module level: the decorator
+    # parses the DDL return type against the ACTIVE session, and this
+    # module is also imported inside python workers where none exists
+    udf = F.pandas_udf(_features_fn, "array<double>")
+    return media.select("media_id", udf("payload").alias("features"))
+
+
+def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
+    """1→N fan-out: each video yields min(n_frames, max_frames)
+    deterministic frame slices via mapInPandas (generator output —
+    Spark streams the expanded batches, no driver materialization)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads, hashes = [], [], [], []
+            for mid, kind, payload in zip(pdf.media_id, pdf.kind, pdf.payload):
+                _, _, _, n_frames = _fake_decode(payload, kind)
+                n = min(n_frames, max_frames)
+                step = max(1, len(payload) // max(n, 1))
+                for i in range(n):
+                    chunk = payload[i * step:(i + 1) * step] or payload[:1]
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(chunk)
+                    hashes.append(xxh64_bytes(chunk, 0) - (1 << 63))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "frame_payload": payloads,
+                                "frame_hash": hashes})
+
+    return (media.where(F.col("kind") == "video")
+            .select("media_id", "kind", "payload")
+            .mapInPandas(fn, FRAMES_SCHEMA))

@@ -33,6 +33,10 @@ def build_spark(
         .config("spark.driver.memory", os.environ.get("MIEKKI_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # shuffle/spill to tmpfs: the sandbox disk is shared with
+        # other tenants; real clusters set local dirs on fast media
+        .config("spark.local.dir",
+                os.environ.get("MIEKKI_LOCAL_DIR", "/dev/shm/miekki_spark"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

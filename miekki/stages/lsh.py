@@ -47,18 +47,22 @@ def star_edges(bucketed: DataFrame, key_cols: list[str], cfg: DedupConfig,
     MinHash band pass and the exact-substring fingerprint pass).
 
     Emits (src, dst) with src = bucket minimum < dst; linear in bucket
-    size, bounded reducer groups at both levels."""
-    w1 = Window.partitionBy(*key_cols, salt_col)
-    lvl1 = bucketed.withColumn("m1", F.min(id_col).over(w1))
-    edges1 = (lvl1.where(F.col(id_col) != F.col("m1"))
-                  .select(F.col("m1").alias("src"), F.col(id_col).alias("dst")))
-
-    salt_mins = lvl1.select(*key_cols, salt_col, "m1").distinct()
-    w2 = Window.partitionBy(*key_cols)
-    lvl2 = salt_mins.withColumn("m2", F.min("m1").over(w2))
-    edges2 = (lvl2.where(F.col("m1") != F.col("m2"))
-                  .select(F.col("m2").alias("src"), F.col("m1").alias("dst")))
-
+    size, bounded reducer groups at both levels. groupBy+collect_list
+    rather than a window: hash aggregation with map-side partials and
+    NO per-partition sort (a window would sort the whole band table);
+    list size is bounded by the salt (<= bucket/S) at level 1 and by
+    S at level 2 (SURVEY.md §2.4)."""
+    lvl1 = (bucketed.groupBy(*key_cols, salt_col)
+            .agg(F.min(id_col).alias("m1"),
+                 F.collect_list(id_col).alias("ds")))
+    edges1 = (lvl1.select("m1", F.explode("ds").alias("dst"))
+                  .where(F.col("dst") != F.col("m1"))
+                  .select(F.col("m1").alias("src"), "dst"))
+    lvl2 = (lvl1.groupBy(*key_cols)
+            .agg(F.min("m1").alias("m2"), F.collect_list("m1").alias("ms")))
+    edges2 = (lvl2.select("m2", F.explode("ms").alias("dst"))
+                  .where(F.col("dst") != F.col("m2"))
+                  .select(F.col("m2").alias("src"), "dst"))
     return edges1.unionByName(edges2).dropDuplicates(["src", "dst"])
 
 

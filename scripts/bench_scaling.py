@@ -1,0 +1,101 @@
+"""M8 scaling protocol (SURVEY.md §6, BASELINE.md): same input, same
+code, local[N] vs local[4N], fresh JVMs, INTERLEAVED runs (this box
+shares its CPUs with other tenants — interleaving + medians averages
+the contention), median end-to-end wall; efficiency =
+(tput_4N / tput_N) / 4. Writes BENCH/BASELINE.md.
+
+Default N=4 (4 vs 16 cores): the host shows a baseline load of
+~14-17 from other tenants on 32 CPUs, so only ~16 cores are really
+available — local[32] would measure contention, not scaling.
+
+Usage: python scripts/bench_scaling.py [runs=3] [mult=8] [N=4]
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+MULT = sys.argv[2] if len(sys.argv) > 2 else "8"
+N = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+LEVELS = [N, 4 * N]
+
+
+def load_avg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def bench_once(cpus: int) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cpus),
+               MIEKKI_BENCH_MULT=MULT,
+               MIEKKI_BENCH_E2E_ONLY="1",
+               MIEKKI_SHUFFLE_PARTITIONS="128",
+               MIEKKI_BENCH_PARTITIONS="96")
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         capture_output=True, text=True, env=env, timeout=3600)
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    walls = {c: [] for c in LEVELS}
+    loads = []
+    docs = None
+    for i in range(RUNS):
+        for cpus in LEVELS:              # interleaved
+            loads.append(load_avg())
+            r = bench_once(cpus)
+            docs = r["docs"]
+            walls[cpus].append(r["value"])
+            print(f"round {i} local[{cpus}]: e2e={r['value']}s"
+                  f" (pre-load {loads[-1]:.1f})", flush=True)
+    med = {c: statistics.median(w) for c, w in walls.items()}
+    tput = {c: round(docs / med[c], 1) for c in LEVELS}
+    eff = (tput[LEVELS[1]] / tput[LEVELS[0]]) / (LEVELS[1] / LEVELS[0])
+    print(json.dumps({"walls": walls, "median": med, "tput": tput,
+                      "efficiency": round(eff, 3)}))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH — measured sandbox numbers (M8 scaling protocol)
+
+Protocol (BASELINE.md; driver instruction: evidence the two-cluster-
+size criterion with two parallelism levels): SAME deterministic input
+(sf0.1 fixture corpus x{MULT} widening = {docs} docs, planted dup
+families), same code, `local[{LEVELS[0]}]` (N) vs `local[{LEVELS[1]}]`
+(4N), `spark.sql.shuffle.partitions=128` and 96 input partitions fixed
+for both, {RUNS} fresh-JVM runs per level INTERLEAVED, median
+end-to-end wall of the full dedup pipeline (normalize → shingle →
+MinHash/SimHash signatures → LSH band + salted star edges → est-J
+verify → SimHash block pass → exact-substring pass → large/small-star
+CC → canonical), excluding JVM/session startup.
+
+**Why N={LEVELS[0]} and not 8:** this sandbox shares its 32 CPUs with
+other tenants — baseline load observed during the protocol:
+min {min(loads):.1f} / median {statistics.median(loads):.1f} /
+max {max(loads):.1f} with none of our processes running. Only ~16
+cores are genuinely available, so 4 vs 16 is the largest honest
+N-vs-4N pair; 8-vs-32 would measure tenant contention, not scaling.
+
+| metric | local[{LEVELS[0]}] (N) | local[{LEVELS[1]}] (4N) | efficiency | target |
+| --- | --- | --- | --- | --- |
+| end-to-end wall (median, s) | {med[LEVELS[0]]} | {med[LEVELS[1]]} | | |
+| docs/sec | {tput[LEVELS[0]]} | {tput[LEVELS[1]]} | **{eff:.3f}** | >= 0.8 |
+
+Per-run walls: local[{LEVELS[0]}] {walls[LEVELS[0]]} s;
+local[{LEVELS[1]}] {walls[LEVELS[1]]} s.
+
+efficiency = (docs_per_sec@4N / docs_per_sec@N) / 4.
+
+Reproduce: `python scripts/bench_scaling.py {RUNS} {MULT} {LEVELS[0]}`.
+""")
+    print(f"wrote BENCH/BASELINE.md (efficiency={eff:.3f})")
+
+
+if __name__ == "__main__":
+    main()
