@@ -123,6 +123,12 @@ def main():
         sigs_ck = compute_signatures(shing, cfg).localCheckpoint()
         timed("lsh_verify_edges", lambda: candidate_edges(sigs_ck, cfg).count())
 
+    # warm python workers / codegen / Arrow paths on a tiny slice so
+    # the timed run measures the workload, not process spawn (the
+    # protocol excludes startup costs; workers are long-lived on a
+    # real cluster)
+    dedup_labels(corpus.limit(256), cfg).count()
+
     # headline: cold end-to-end (re-runs everything incl. CC)
     t0 = time.time()
     n_labels = dedup_labels(corpus, cfg).count()
