@@ -16,7 +16,7 @@ JVM-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from miekki.config import DedupConfig
 
@@ -36,14 +36,30 @@ def _block_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def _chain_pairs(df: DataFrame, part_cols: list[str], c: int) -> DataFrame:
     """Pair each row with its <= c successors in doc_id order within
-    the partition; linear in bucket size."""
-    w = Window.partitionBy(*part_cols).orderBy("doc_id")
-    leads = F.array(*[F.lead("doc_id", i).over(w) for i in range(1, c + 1)])
-    # window exprs can't sit inside explode's projection — materialize
-    # the lead array first, then explode
-    return (df.withColumn("leads", leads)
-              .select(F.col("doc_id").alias("src"), F.explode("leads").alias("dst"))
-              .where(F.col("dst").isNotNull()))
+    the bucket; linear in bucket size.
+
+    groupBy + sort_array(collect_list) instead of a window: one hash
+    aggregation with map-side partials and per-GROUP array sorts
+    (buckets are salt-bounded) — a window would sort the whole table.
+    Pair generation is a JVM-side flatten over the sorted array.
+
+    Besides the <=c successor pairs, every member also pairs with the
+    bucket MINIMUM: when those star pairs pass verification (the
+    common case — hot buckets hold near-identical items) the verified
+    component is a star and CC converges in ~2 rounds instead of
+    O(log chain-length); chain pairs remain for the cases where the
+    min fails pairwise verification."""
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        f" transform(slice(ds, i + 2, {c}), y -> struct(x AS src, y AS dst))))")
+    star = F.expr(
+        "transform(slice(ds, 2, greatest(size(ds) - 1, 0)),"
+        " y -> struct(ds[0] AS src, y AS dst))")
+    pairs = F.concat(pairs, star)
+    return (df.groupBy(*part_cols)
+              .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+              .select(F.explode(pairs).alias("p"))
+              .select("p.src", "p.dst"))
 
 
 def simhash_candidate_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:

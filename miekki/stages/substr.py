@@ -73,17 +73,26 @@ def anchor_table(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def _chain_pairs_with_pos(df: DataFrame, part_cols: list[str]) -> DataFrame:
     """Within each fp bucket, pair each (doc,pos) with its <= C
-    successors in doc_id order — linear, position-carrying."""
-    w = Window.partitionBy(*part_cols).orderBy("doc_id")
-    leads = F.array(*[
-        F.lead(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p")), i).over(w)
-        for i in range(1, CHAIN_SUCCESSORS + 1)])
-    return (df.withColumn("leads", leads)
-              .select(F.col("doc_id").alias("src"), F.col("pos").alias("src_pos"),
-                      F.explode("leads").alias("nxt"))
-              .where(F.col("nxt").isNotNull())
-              .select("src", "src_pos",
-                      F.col("nxt.d").alias("dst"), F.col("nxt.p").alias("dst_pos")))
+    successors in doc_id order — linear, position-carrying.
+
+    groupBy + sort_array(collect_list(struct)) instead of a window:
+    hash aggregation with per-GROUP array sorts (struct sort orders by
+    doc_id first), no whole-table sort shuffle."""
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        f" transform(slice(ds, i + 2, {CHAIN_SUCCESSORS}),"
+        "  y -> struct(x.doc_id AS src, x.pos AS src_pos,"
+        "              y.doc_id AS dst, y.pos AS dst_pos))))")
+    # star pairs to the bucket minimum: verified stars collapse CC to
+    # ~2 rounds (chains alone are path graphs -> O(log n) rounds)
+    star = F.expr(
+        "transform(slice(ds, 2, greatest(size(ds) - 1, 0)),"
+        " y -> struct(ds[0].doc_id AS src, ds[0].pos AS src_pos,"
+        "             y.doc_id AS dst, y.pos AS dst_pos))")
+    return (df.groupBy(*part_cols)
+              .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pos"))).alias("ds"))
+              .select(F.explode(F.concat(pairs, star)).alias("p"))
+              .select("p.src", "p.src_pos", "p.dst", "p.dst_pos"))
 
 
 def candidate_anchor_pairs(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
