@@ -234,6 +234,52 @@ def q_json(spark, sf_dir):
                   F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def q_determinism(spark, sf_dir):
+    """Partitioning-invariance probe (SURVEY.md §2.0b set-ops row):
+    run the full CC fixpoint twice under different partitionings and
+    count label diffs both ways with exceptAll — MUST be (0, 0)."""
+    a = q_cc_labels(spark, sf_dir)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        b = q_cc_labels(spark, sf_dir).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.createDataFrame(
+        [(a.exceptAll(b).count(), b.exceptAll(a).count())],
+        "n_only_first bigint, n_only_second bigint")
+
+
+def q_simhash_sorted(spark, sf_dir):
+    """Manku'07 sorted-fingerprint sweep (SURVEY.md §2.5 optional
+    variant, off the default path): for each of 4 16-bit rotations,
+    order by the rotated fingerprint and compare each doc with its
+    neighbor; keep Hamming <= k pairs."""
+    from pyspark.sql import Window
+
+    sigs = q_minhash_sig(spark, sf_dir).select("doc_id", "simhash")
+    outs = []
+    for r in range(4):
+        rot = F.expr(
+            f"cast(shiftleft(simhash, {16 * r}) |"
+            f" shiftrightunsigned(simhash, {64 - 16 * r}) as bigint)"
+            if r else "simhash")
+        df = sigs.withColumn("rot", rot)
+        w = Window.orderBy("rot", "doc_id")
+        nxt = df.select("doc_id", "simhash", "rot",
+                        F.lead("doc_id").over(w).alias("dst"),
+                        F.lead("simhash").over(w).alias("fp_dst"))
+        outs.append(nxt.where(F.col("dst").isNotNull()))
+    cand = outs[0]
+    for o in outs[1:]:
+        cand = cand.unionByName(o)
+    ham = F.bit_count(F.expr("simhash ^ fp_dst"))
+    return (cand.where(ham <= CFG.hamming_max)
+            .select(F.least("doc_id", "dst").alias("src"),
+                    F.greatest("doc_id", "dst").alias("dst"))
+            .dropDuplicates(["src", "dst"]))
+
+
 def q_metrics_rollup(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.rollup("l_returnflag", "l_linestatus")
@@ -452,7 +498,9 @@ QUERIES: dict[str, Callable] = {
     "q_window": q_window,
     "q_topk": q_topk,
     "q_setops": q_setops,
-    "q_json": q_json,
+    "events_json": q_json,
+    "determinism": q_determinism,
+    "simhash_sorted": q_simhash_sorted,
     "metrics_rollup": q_metrics_rollup,
     "extract_invariant": q_extract_invariant,
     "minhash_sig": q_minhash_sig,
@@ -573,7 +621,9 @@ ORACLE_SQL: dict[str, str] = {
         " EXCEPT SELECT DISTINCT c_custkey FROM customer)) AS n_orphans,"
         " (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer"
         " INTERSECT SELECT DISTINCT o_custkey FROM orders)) AS n_active"),
-    "q_json": (
+    "determinism": ("SELECT CAST(0 AS BIGINT) AS n_only_first,"
+                    " CAST(0 AS BIGINT) AS n_only_second"),
+    "events_json": (
         "SELECT event_type,"
         " CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))"
         " AS BIGINT) AS sum_k,"
