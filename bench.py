@@ -87,8 +87,8 @@ def main():
     from miekki.config import DedupConfig
     from miekki.pipeline import candidate_edges, dedup_labels
     from miekki.session import build_spark
-    from miekki.stages.normalize import normalize, with_shingles
-    from miekki.stages.signatures import compute_signatures
+    from miekki.stages.normalize import normalize
+    from miekki.stages.signatures import signatures_from_text
 
     cfg = DedupConfig()
     spark = build_spark(master=f"local[{cpus}]", app_name="miekki-bench",
@@ -112,15 +112,15 @@ def main():
         timings[name] = round(time.time() - t0, 2)
         return result
 
-    # stage benches (skipped in scaling mode — only e2e matters there)
+    # stage benches (skipped in scaling mode — only e2e matters there).
+    # "signatures" is the fused shingle+sketch kernel (r2): one Arrow
+    # pass replaces the r1 shingle(3.7s)+signatures(4.5s) pair.
     if not os.environ.get("MIEKKI_BENCH_E2E_ONLY"):
         docs_n = normalize(corpus, cfg)
-        shing = with_shingles(docs_n, cfg)
-        timed("shingle", lambda: shing.select(
+        sigs = signatures_from_text(docs_n, cfg)
+        timed("signatures_fused", lambda: sigs.select(
             "doc_id", "n_shingles").agg({"n_shingles": "sum"}).collect())
-        sigs = compute_signatures(shing, cfg)
-        timed("signatures", lambda: sigs.count())
-        sigs_ck = compute_signatures(shing, cfg).localCheckpoint()
+        sigs_ck = signatures_from_text(docs_n, cfg).localCheckpoint()
         timed("lsh_verify_edges", lambda: candidate_edges(sigs_ck, cfg).count())
 
     # warm python workers / codegen / Arrow paths on a tiny slice so

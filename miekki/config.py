@@ -45,7 +45,15 @@ class DedupConfig:
     winnow_w: int = 64           # winnowing window (positions)
     anchor_k: int = 64           # rolling-hash window (bytes)
     # --- skew handling ---
-    salt_buckets: int = 16       # two-level salted aggregation (§2.4)
+    # Two-level salted aggregation (§2.4). Memory bound per reducer
+    # group: level 1 holds <= ceil(|hot bucket| / S) ids x 8B, level 2
+    # holds <= S ids x 8B. S=1024 bounds a 10^9-doc boilerplate bucket
+    # at ~8 MB per level-1 group and 8 KB at level 2; salt is a pure
+    # function of doc_id so S never changes cluster output, only the
+    # shuffle shape (tests/test_spark_stages.py pins that invariance).
+    salt_buckets: int = 1024
+    lsh_chain: int = 0           # >0 adds successor-chain pairs per salted
+                                 # band bucket (recall-critical runs; §2.4)
     # --- hashing ---
     hash_fn: str = "xxhash64"    # 'xxhash64' (prod) | 'md5' (DuckDB-comparable)
 

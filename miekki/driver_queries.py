@@ -27,7 +27,8 @@ from miekki.config import DedupConfig
 CFG = DedupConfig()
 
 # DuckDB needs the 'g' flag; Spark replaces all matches by default.
-_NORM_DUCK = "trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'))"
+_NORM_DUCK = ("trim(regexp_replace(lower(coalesce(text, '')),"
+              " '[ \\t\\r\\n]+', ' ', 'g'))")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -96,6 +97,21 @@ def q_profile(spark, sf_dir):
                  F.round(F.avg("n_chars"), 3).alias("avg_chars")))
 
 
+def q_profile_approx(spark, sf_dir):
+    """approx_count_distinct (HLL++, SURVEY.md §2.0b approx-distinct
+    row) checked against the exact count: per-lang boolean that the
+    sketch lands within max(5%, 1) of exact — the oracle pins `true`.
+    The sketch value itself is engine-specific, the accuracy contract
+    is not."""
+    return (_t(spark, sf_dir, "documents").groupBy("lang")
+            .agg(F.approx_count_distinct("source").alias("approx"),
+                 F.countDistinct("source").alias("exact"))
+            .select("lang", (F.abs(F.col("approx") - F.col("exact"))
+                             <= F.greatest(
+                                 (F.col("exact") * 0.05).cast("bigint"),
+                                 F.lit(1))).alias("within_5pct")))
+
+
 # --------------------------------------------------------------------
 # exact-dup clustering + canonical/stats over the PORTABLE bucketing
 # --------------------------------------------------------------------
@@ -155,6 +171,16 @@ def _chain_edges(spark, sf_dir) -> DataFrame:
             .select(F.lag("doc_id").over(w).alias("src"),
                     F.col("doc_id").alias("dst"))
             .where(F.col("src").isNotNull()))
+
+
+def q_edge_union(spark, sf_dir):
+    """O14 — edge union + dedup: exactly the operator dedup_labels
+    applies before CC (union of per-pass edge tables, dropDuplicates
+    on (src, dst)), here over the two portable generators so DuckDB
+    can replay it."""
+    star = q_bucket_edges(spark, sf_dir).select("src", "dst")
+    chain = _chain_edges(spark, sf_dir)
+    return star.unionByName(chain).dropDuplicates(["src", "dst"])
 
 
 def q_cc_largestar(spark, sf_dir):
@@ -302,11 +328,25 @@ def q_extract_invariant(spark, sf_dir):
 
 
 def q_minhash_sig(spark, sf_dir):
-    from miekki.stages.normalize import normalize, with_shingles
-    from miekki.stages.signatures import compute_signatures
+    from miekki.stages.normalize import normalize
+    from miekki.stages.signatures import signatures_from_text
 
     corpus = _fixture_corpus_df(spark, sf_dir)
-    return compute_signatures(with_shingles(normalize(corpus, CFG), CFG), CFG)
+    return signatures_from_text(normalize(corpus, CFG), CFG)
+
+
+def q_minhash_scalar(spark, sf_dir):
+    """Driver-safe projection of T2: the driver's canonicalizer sorts
+    the result frame and cannot hash array columns (r1 `err` row), so
+    the 128-long signature is digested to scalars — first element,
+    xxhash64 of the whole array, length. The array itself is pinned
+    bit-for-bit by tests/test_golden_sigs.py."""
+    return q_minhash_sig(spark, sf_dir).select(
+        "doc_id",
+        F.expr("minhash[0]").alias("mh_first"),
+        F.xxhash64(F.col("minhash").cast("string")).alias("mh_digest"),
+        F.size("minhash").alias("n_perm"),
+        "simhash")
 
 
 def q_simhash_sig(spark, sf_dir):
@@ -438,9 +478,16 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_embedding_dedup(spark, sf_dir):
-    from miekki.embeddings import embedding_dedup_edges
+    """Near-dup edges at cosine >= 0.95. The raw testdata embeddings
+    are near-uniform on the sphere (max pairwise cosine ~0.3), which
+    made this key vacuous in r1 (0 rows); the operator is exercised on
+    corpus ∪ planted near-duplicates (vec_id+10^6, deterministic small
+    perturbation, cosine ~0.998) — recovery of the planted pairs is
+    asserted in tests/test_extras.py."""
+    from miekki.embeddings import embedding_dedup_edges, plant_near_dups
 
-    return embedding_dedup_edges(_emb(spark, sf_dir), threshold=0.95)
+    vecs = plant_near_dups(_emb(spark, sf_dir), n=50)
+    return embedding_dedup_edges(vecs, threshold=0.95)
 
 
 def _media(spark, sf_dir):
@@ -456,15 +503,36 @@ def q_media_decode(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """Scalar digest of the feature vectors for the driver (arrays are
+    unsortable by its canonicalizer — r1 `err` row); the full arrays
+    stay available via miekki.multimodal.media_features."""
     from miekki.multimodal import media_features
 
-    return media_features(_media(spark, sf_dir))
+    feats = media_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        F.round(F.expr("features[0]"), 6).alias("f0"),
+        F.round(F.expr("aggregate(features, 0D, (a, x) -> a + x)"),
+                6).alias("f_sum"),
+        F.size("features").alias("dim"))
 
 
 def q_media_frames(spark, sf_dir):
     from miekki.multimodal import sample_frames
 
     return sample_frames(_media(spark, sf_dir))
+
+
+def q_windowed_events(spark, sf_dir):
+    """X15 — watermarked tumbling-window agg (identical code path for
+    stream and batch input); epoch seconds out so the timestamp hash
+    is engine-neutral."""
+    from miekki.streaming import windowed_event_counts
+
+    out = windowed_event_counts(_t(spark, sf_dir, "events"))
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type", "n_events", "sum_value")
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -486,10 +554,12 @@ QUERIES: dict[str, Callable] = {
     "normalize": q_normalize,
     "shingles": q_shingles,
     "profile": q_profile,
+    "profile_approx": q_profile_approx,
     "exact_dups": q_exact_dups,
     "canonical": q_canonical,
     "cluster_stats": q_cluster_stats,
     "bucket_edges": q_bucket_edges,
+    "edge_union": q_edge_union,
     "cc_largestar": q_cc_largestar,
     "cc_smallstar": q_cc_smallstar,
     "cc_labels": q_cc_labels,
@@ -503,7 +573,7 @@ QUERIES: dict[str, Callable] = {
     "simhash_sorted": q_simhash_sorted,
     "metrics_rollup": q_metrics_rollup,
     "extract_invariant": q_extract_invariant,
-    "minhash_sig": q_minhash_sig,
+    "minhash_sig": q_minhash_scalar,
     "simhash_sig": q_simhash_sig,
     "bands": q_bands,
     "simhash_pairs": q_simhash_pairs,
@@ -523,13 +593,16 @@ QUERIES: dict[str, Callable] = {
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "doc_fingerprint": q_doc_fingerprint,
+    "windowed_events": q_windowed_events,
 }
 
 _NORM_CTE = f"SELECT doc_id, {_NORM_DUCK} AS norm FROM documents"
 _BUCKET1 = (f"SELECT doc_id, substr(md5(norm), 1, 1) AS bucket"
             f" FROM ({_NORM_CTE})")
+# ((x % 4) + 4) % 4 matches Spark pmod for negative doc_ids too
+# (ADVICE r1: plain doc_id % 4 is negative for negative ids in DuckDB)
 _BUCKET2 = (f"SELECT doc_id, substr(md5(norm), 1, 2) AS bucket,"
-            f" doc_id % 4 AS salt FROM ({_NORM_CTE})")
+            f" ((doc_id % 4) + 4) % 4 AS salt FROM ({_NORM_CTE})")
 _CHAIN = (f"SELECT src, dst FROM (SELECT lag(doc_id) OVER"
           f" (PARTITION BY bucket ORDER BY doc_id) AS src,"
           f" doc_id AS dst FROM ({_BUCKET1})) WHERE src IS NOT NULL")
@@ -550,6 +623,15 @@ ORACLE_SQL: dict[str, str] = {
         " CAST(count(DISTINCT source) AS BIGINT) AS n_sources,"
         " round(avg(n_chars), 3) AS avg_chars"
         " FROM documents GROUP BY lang"),
+    # the sketch value is engine-specific; the pinned contract is the
+    # HLL++ accuracy bound (within max(5%, 1) of exact)
+    "profile_approx": (
+        "SELECT lang, true AS within_5pct FROM documents GROUP BY lang"),
+    "windowed_events": (
+        "SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)"
+        " AS window_epoch, event_type, count(*) AS n_events,"
+        " round(sum(value), 2) AS sum_value FROM events"
+        " GROUP BY 1, 2"),
     "exact_dups": (
         "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(norm))"
         f" AS exact_cluster FROM ({_NORM_CTE})"),
@@ -577,6 +659,17 @@ ORACLE_SQL: dict[str, str] = {
         " e2 AS (SELECT m2 AS src, m1 AS dst FROM l2 WHERE m1 <> m2)"
         " SELECT DISTINCT src, dst FROM (SELECT * FROM e1"
         " UNION ALL SELECT * FROM e2)"),
+    "edge_union": (
+        f"WITH b AS ({_BUCKET2}),"
+        " l1 AS (SELECT *, min(doc_id) OVER (PARTITION BY bucket, salt)"
+        " AS m1 FROM b),"
+        " e1 AS (SELECT m1 AS src, doc_id AS dst FROM l1 WHERE doc_id <> m1),"
+        " sm AS (SELECT DISTINCT bucket, salt, m1 FROM l1),"
+        " l2 AS (SELECT *, min(m1) OVER (PARTITION BY bucket) AS m2 FROM sm),"
+        " e2 AS (SELECT m2 AS src, m1 AS dst FROM l2 WHERE m1 <> m2)"
+        " SELECT DISTINCT src, dst FROM (SELECT * FROM e1"
+        " UNION ALL SELECT * FROM e2"
+        f" UNION ALL SELECT * FROM ({_CHAIN}))"),
     "cc_largestar": (
         f"WITH e AS ({_CHAIN}),"
         " sym AS (SELECT src AS u, dst AS v FROM e WHERE src <> dst"

@@ -118,6 +118,25 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("cosine", 6).alias("cosine")))
 
 
+def plant_near_dups(vectors: DataFrame, n: int = 50,
+                    id_offset: int = 1_000_000,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """corpus ∪ deterministic near-duplicates of the first ``n``
+    vectors: id + id_offset, each component nudged by
+    0.003*sin(7*id + i) (cosine vs the original ~0.9998 for unit
+    vectors). Used by tests and the driver key so the near-dup
+    operator is exercised on data that actually contains near-dups."""
+    base = vectors.select(id_col, vec_col)
+    dup = (vectors.where(F.col(id_col) < n)
+           .select((F.col(id_col) + id_offset).alias(id_col),
+                   F.expr(
+                       f"transform({vec_col}, (x, i) -> cast(x +"
+                       f" 0.003 * sin(7 * {id_col} + i) as float))"
+                   ).alias(vec_col)))
+    return base.unionByName(dup)
+
+
 def embedding_dedup_edges(vectors: DataFrame, threshold: float = 0.98,
                           n_planes: int = 12, dim: int | None = None,
                           id_col: str = "vec_id",

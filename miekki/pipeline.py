@@ -15,8 +15,8 @@ from miekki.config import DedupConfig
 from miekki.stages.canonical import select_canonical
 from miekki.stages.cc import cc_labels
 from miekki.stages.lsh import minhash_candidate_edges
-from miekki.stages.normalize import normalize, with_shingles
-from miekki.stages.signatures import compute_signatures
+from miekki.stages.normalize import normalize
+from miekki.stages.signatures import signatures_from_text
 from miekki.stages.verify import verify_edges
 
 
@@ -44,7 +44,7 @@ def dedup_labels(corpus: DataFrame, cfg: DedupConfig = DedupConfig(),
     # materialize once instead of recomputing the Arrow kernel 3x.
     # pipeline.run() checkpoints T2 to the catalog instead (O23).
     docs = docs.localCheckpoint()
-    sigs = compute_signatures(with_shingles(docs, cfg), cfg).localCheckpoint()
+    sigs = signatures_from_text(docs, cfg).localCheckpoint()
     edges = candidate_edges(sigs, cfg, use_simhash=use_simhash)
     if use_substr:
         from miekki.stages.substr import substr_candidate_edges
@@ -68,8 +68,8 @@ def run(spark, catalog, cfg: DedupConfig = DedupConfig(),
     the catalog with lineage + per-partition metrics (O21–O23).
 
     Stage graph (each row = one catalog table, one lineage unit):
-      docs_norm      ← corpus                      (O3/O4 + n_shingles)
-      signatures     ← docs_norm                   (O5–O7)
+      docs_norm      ← corpus                      (O3/O4)
+      signatures     ← docs_norm                   (O5–O7 + n_shingles)
       candidate_edges← signatures [+ docs_norm]    (O8–O14)
       cluster_labels ← candidate_edges + docs_norm (O15–O19)
 
@@ -95,15 +95,15 @@ def run(spark, catalog, cfg: DedupConfig = DedupConfig(),
 
     docs = runner.materialize(
         "docs_norm", "docs_norm",
-        lambda: with_shingles(normalize(corpus, cfg), cfg)
-        .select("doc_id", "url", "lang", "norm_text", "n_shingles"),
+        lambda: normalize(corpus, cfg)
+        .select("doc_id", "url", "lang", "norm_text"),
         corpus_snap)
 
     docs_snap = catalog.snapshot_id("docs_norm")
     sigs = runner.materialize(
         "signatures", "signatures",
-        lambda: compute_signatures(
-            with_shingles(docs.select("doc_id", "norm_text"), cfg), cfg),
+        lambda: signatures_from_text(
+            docs.select("doc_id", "norm_text"), cfg),
         docs_snap)
 
     def build_edges():

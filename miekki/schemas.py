@@ -15,20 +15,22 @@ CORPUS = T.StructType([
     T.StructField("lang", T.StringType(), False),
 ])
 
-# T1 — normalized docs
+# T1 — normalized docs (n_shingles moved to T2 in r2: the fused
+# signature kernel computes it for free; keeping it here forced an
+# interpreted shingling pass just to materialize a count)
 DOCS_NORM = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("url", T.StringType(), False),
     T.StructField("lang", T.StringType(), False),
     T.StructField("norm_text", T.StringType(), False),
-    T.StructField("n_shingles", T.IntegerType(), False),
 ])
 
-# T2 — signatures
+# T2 — signatures (from the fused kernel; n_shingles rides along)
 SIGNATURES = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("minhash", T.ArrayType(T.LongType(), False), False),
     T.StructField("simhash", T.LongType(), False),
+    T.StructField("n_shingles", T.IntegerType(), False),
 ])
 
 # T3 — LSH bands (transient)

@@ -51,7 +51,18 @@ def star_edges(bucketed: DataFrame, key_cols: list[str], cfg: DedupConfig,
     rather than a window: hash aggregation with map-side partials and
     NO per-partition sort (a window would sort the whole band table);
     list size is bounded by the salt (<= bucket/S) at level 1 and by
-    S at level 2 (SURVEY.md §2.4)."""
+    S at level 2 (SURVEY.md §2.4).
+
+    Recall caveat (ADVICE r1): star edges preserve connectivity of the
+    UNVERIFIED candidate graph exactly, but downstream est_J
+    verification compares each member only against the bucket minimum
+    — if a low-similarity doc happens to be the minimum of a band
+    bucket, true pairs inside that bucket can be dropped. With b=32
+    bands the probability a dup pair shares NO bucket with a
+    same-cluster minimum is negligible (each band re-draws the
+    minimum), so the default stays star-only; recall-critical runs set
+    cfg.lsh_chain > 0 to add bounded successor-chain pairs per salted
+    bucket (the scheme simhash/substr already use)."""
     lvl1 = (bucketed.groupBy(*key_cols, salt_col)
             .agg(F.min(id_col).alias("m1"),
                  F.collect_list(id_col).alias("ds")))
@@ -66,6 +77,27 @@ def star_edges(bucketed: DataFrame, key_cols: list[str], cfg: DedupConfig,
     return edges1.unionByName(edges2).dropDuplicates(["src", "dst"])
 
 
+def chain_pairs(bucketed: DataFrame, key_cols: list[str], successors: int,
+                id_col: str = "doc_id") -> DataFrame:
+    """Each bucket member paired with its <= ``successors`` id-order
+    successors — linear in bucket size, per-GROUP array sort only (no
+    whole-table sort shuffle)."""
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        f" transform(slice(ds, i + 2, {successors}),"
+        "  y -> struct(x AS src, y AS dst))))")
+    return (bucketed.groupBy(*key_cols)
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+            .select(F.explode(pairs).alias("p"))
+            .select("p.src", "p.dst"))
+
+
 def minhash_candidate_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """T2 → candidate (src, dst) edges from LSH band collisions."""
-    return star_edges(band_table(signatures, cfg), ["band_id", "band_hash"], cfg)
+    bands = band_table(signatures, cfg)
+    edges = star_edges(bands, ["band_id", "band_hash"], cfg)
+    if cfg.lsh_chain > 0:
+        chains = chain_pairs(bands, ["band_id", "band_hash", "salt"],
+                             cfg.lsh_chain)
+        edges = edges.unionByName(chains).dropDuplicates(["src", "dst"])
+    return edges

@@ -19,7 +19,13 @@ WS_PATTERN = "[ \t\r\n]+"
 
 
 def norm_text_col(col_name: str = "text") -> F.Column:
-    return F.trim(F.regexp_replace(F.lower(F.col(col_name)), WS_PATTERN, " "))
+    """NULL text is pinned to '' here so no NULL shingle array can
+    reach the Arrow kernel (which fails the whole job on one bad row);
+    null-text docs become trivial exact-dups of each other, which is
+    the honest semantic for an empty page. The DuckDB oracle
+    (_NORM_DUCK) carries the same coalesce."""
+    return F.trim(F.regexp_replace(
+        F.lower(F.coalesce(F.col(col_name), F.lit(""))), WS_PATTERN, " "))
 
 
 def normalize(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -11,14 +11,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from miekki.config import DedupConfig
-from miekki.kernels import SIG_SCHEMA, make_signature_kernel
+from miekki.kernels import (FUSED_SCHEMA, SIG_SCHEMA,
+                            make_signature_kernel,
+                            make_text_signature_kernel)
 
 
 def compute_signatures(docs_with_shingles: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(doc_id, shingles) → T2 (doc_id, minhash[n_perm], simhash).
 
     Column pruning matters: pass ONLY doc_id + shingles into the Arrow
-    boundary — never norm_text/html (SURVEY.md §4 'our obligation')."""
+    boundary — never norm_text/html (SURVEY.md §4 'our obligation').
+
+    This is the two-step reference path (SQL shingling → Arrow
+    sketch); the production pipeline uses ``signatures_from_text``
+    (fused kernel, same bits, ~no interpreted-HOF cost)."""
     return docs_with_shingles.select("doc_id", "shingles").mapInArrow(
         make_signature_kernel(cfg), SIG_SCHEMA
+    )
+
+
+def signatures_from_text(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(doc_id, norm_text) → T2 (doc_id, minhash[n_perm], simhash,
+    n_shingles) via the fused Arrow kernel: shingling + xxhash64 +
+    distinct + both sketches in one numpy pass. Bit-exact with
+    compute_signatures(with_shingles(...)) — parity pinned in
+    tests/test_kernels.py — while skipping the interpreted
+    transform(sequence(...)) projection AND the shingle-array Arrow
+    transfer (the r1 bench's largest cost)."""
+    return docs_norm.select("doc_id", "norm_text").mapInArrow(
+        make_text_signature_kernel(cfg), FUSED_SCHEMA
     )

@@ -64,11 +64,20 @@ def make_anchor_kernel(cfg: DedupConfig):
 
 
 def anchor_table(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(doc_id, norm_text) → (doc_id, fp, pos); one anchor per
-    (doc, fp) (min pos)."""
+    """(doc_id, norm_text) → (doc_id, fp, pos); up to TWO positions
+    per (doc, fp) — first and last occurrence. Min-pos alone loses
+    containment edges when an anchor's content repeats inside a doc
+    (boilerplate): the earliest occurrence may sit outside the true
+    >=L shared run (ADVICE r1). First+last brackets the doc, so a run
+    anywhere keeps at least one in-run anchor unless the same fp
+    repeats 3+ times with the run strictly in the middle."""
     anchors = docs_norm.select("doc_id", "norm_text").mapInArrow(
         make_anchor_kernel(cfg), ANCHOR_SCHEMA)
-    return anchors.groupBy("doc_id", "fp").agg(F.min("pos").alias("pos"))
+    agg = anchors.groupBy("doc_id", "fp").agg(F.min("pos").alias("p1"),
+                                              F.max("pos").alias("p2"))
+    return agg.select(
+        "doc_id", "fp",
+        F.explode(F.array_distinct(F.array("p1", "p2"))).alias("pos"))
 
 
 def _chain_pairs_with_pos(df: DataFrame, part_cols: list[str]) -> DataFrame:
@@ -106,7 +115,12 @@ def candidate_anchor_pairs(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
             .select("fp", F.col("m.doc_id").alias("doc_id"), F.col("m.pos").alias("pos")))
     lvl2 = _chain_pairs_with_pos(mins, ["fp"])
     pairs = lvl1.unionByName(lvl2).where(F.col("src") != F.col("dst"))
-    w = Window.partitionBy("src", "dst").orderBy("src_pos", "dst_pos")
+    # cap ranked by a deterministic hash, NOT by earliest position:
+    # earliest-first lets a repeated prefix crowd out run-interior
+    # anchors (ADVICE r1); hash rank spreads the kept anchors over the
+    # doc while staying partitioning-invariant.
+    w = Window.partitionBy("src", "dst").orderBy(
+        F.xxhash64("src_pos", "dst_pos"), "src_pos", "dst_pos")
     return (pairs.withColumn("rn", F.row_number().over(w))
                  .where(F.col("rn") <= MAX_ANCHORS_PER_PAIR).drop("rn"))
 

@@ -17,8 +17,8 @@ from miekki.catalog import Catalog
 from miekki.config import DedupConfig
 from miekki.schemas import CORPUS
 from miekki.stages.cc import cc_labels
-from miekki.stages.normalize import normalize, with_shingles
-from miekki.stages.signatures import compute_signatures
+from miekki.stages.normalize import normalize
+from miekki.stages.signatures import signatures_from_text
 from miekki.stages.verify import verify_edges
 from miekki.stages.lsh import band_table, star_edges
 
@@ -39,7 +39,7 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
     Returns the updated full label table.
     """
     docs = normalize(new_corpus, cfg).localCheckpoint()
-    sigs = compute_signatures(with_shingles(docs, cfg), cfg).localCheckpoint()
+    sigs = signatures_from_text(docs, cfg).localCheckpoint()
     new_bands = band_table(sigs, cfg).localCheckpoint()
 
     have_state = catalog.exists("stream_bands")

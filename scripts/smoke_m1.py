@@ -72,9 +72,16 @@ lab_pdf = labels.toPandas()
 print(f"pipeline: {len(lab_pdf)} labels, {lab_pdf.cluster_id.nunique()} clusters "
       f"({time.time()-t1:.1f}s)")
 
-# oracle CC over the SAME verified edge set
+# oracle CC over the SAME verified edge set dedup_labels uses
+# (minhash ∪ simhash ∪ substr — the substr union was missing here,
+# which mis-read every substr-only merge as a label mismatch)
+from miekki.stages.substr import substr_candidate_edges
+
 sigs = compute_signatures(ws, cfg)
-edges_pdf = candidate_edges(sigs, cfg).select("src", "dst").toPandas()
+edges_pdf = (candidate_edges(sigs, cfg).select("src", "dst")
+             .unionByName(substr_candidate_edges(
+                 dn.localCheckpoint(), cfg).select("src", "dst"))
+             .toPandas())
 all_ids = [spark_xxhash64(u) for u in corpus_pdf.url]
 olab = oracle_cc(list(edges_pdf.itertuples(index=False, name=None)), all_ids)
 mism = sum(1 for _, r in lab_pdf.iterrows() if olab[r.doc_id] != r.cluster_id)

@@ -91,3 +91,44 @@ def test_simhash_close_for_similar_sets():
     fb = simhash_fingerprint(variant, CFG)
     ham = bin((fa ^ fb) & (2**64 - 1)).count("1")
     assert ham <= 8  # 1% feature churn stays within a few bits
+
+
+# --- fused text->signature kernel (r2) --------------------------------
+
+def test_xxh64_fixed_matches_oracle():
+    """Vectorized XXH64 vs the golden-pinned scalar oracle across all
+    lane paths: empty, byte tail, dword, word loop, >=32B stripes."""
+    from miekki.kernels import xxh64_fixed
+    from oracle.xxh64 import xxh64_bytes
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    for L in [0, 1, 2, 3, 4, 5, 7, 8, 9, 12, 15, 16, 20, 31, 32, 33,
+              40, 63, 64, 71]:
+        n = 17
+        mat = rng.integers(0, 256, size=(n, L), dtype=np.uint8)
+        got = xxh64_fixed(mat, 42)
+        want = np.array([xxh64_bytes(bytes(mat[i]), 42) for i in range(n)],
+                        dtype=np.uint64)
+        assert (got == want).all(), f"L={L}"
+
+
+def test_shingle_hash_rows_matches_sql_semantics():
+    """Pure-numpy shingle pass vs the Python oracle shingle set
+    (char k-grams of UTF-8 text, whole-text window when shorter
+    than k, empty text hashes b'')."""
+    from miekki.kernels import _shingle_hash_rows
+    from miekki.textproc import char_shingles
+    from oracle.xxh64 import xxh64_bytes
+
+    texts = ["hello world test", "中文测试文档", "emoji 🎉🎊 mix",
+             "ab", "", "x", "ñandú ñandú ñandú", "aaaaaaaa"]
+    k = CFG.shingle_k
+    data = np.frombuffer("".join(texts).encode("utf-8"), dtype=np.uint8)
+    rel = np.cumsum([0] + [len(t.encode("utf-8")) for t in texts]).astype(np.int64)
+    values, starts, counts = _shingle_hash_rows(data, rel, k)
+    for i, t in enumerate(texts):
+        got = set(values[starts[i]: starts[i] + counts[i]].tolist())
+        want = {xxh64_bytes(s.encode("utf-8"), 42)
+                for s in char_shingles(t, k)} or {xxh64_bytes(b"", 42)}
+        assert got == want, t
+        assert counts[i] == len(want)

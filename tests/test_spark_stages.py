@@ -3,6 +3,7 @@
 on real fixture-corpus texts (en/fr/es/zh/de)."""
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from miekki.config import DedupConfig
 from miekki.stages.lsh import band_table
@@ -73,3 +74,38 @@ def test_band_hashes_match_oracle(spark, corpus_df, fixture_corpus):
     for did, pairs in got.items():
         expect = sketches.band_hashes(sig_rows[did], CFG)
         assert sorted(pairs) == sorted(expect)
+
+
+def test_fused_kernel_parity(spark, corpus_df):
+    """signatures_from_text (fused numpy shingle+sketch kernel) is
+    bit-exact with the SQL-shingling + Arrow-sketch reference path on
+    the whole fixture corpus plus adversarial rows (CJK, emoji,
+    accents, empty, NULL, shorter-than-k)."""
+    from miekki.stages.normalize import normalize, with_shingles
+    from miekki.stages.signatures import (compute_signatures,
+                                          signatures_from_text)
+
+    extra = spark.createDataFrame(
+        [("x1", "中文测试文档内容很长的一段话测试"),
+         ("x2", "emoji 🎉🎊 test 🚀 mixed"),
+         ("x3", "héllo wörld àccents"),
+         ("x4", ""), ("x5", None), ("x6", "ab"),
+         ("x7", "aaaaaaaaaaaaaaaa")],
+        "url string, text string") \
+        .withColumn("warc_ts", F.current_timestamp()) \
+        .withColumn("lang", F.lit("en")) \
+        .withColumn("html", F.encode(F.coalesce("text", F.lit("")), "utf-8"))
+    corpus = corpus_df.unionByName(extra, allowMissingColumns=True)
+    docs = normalize(corpus, CFG).localCheckpoint()
+
+    ws = with_shingles(docs, CFG)
+    ref = compute_signatures(ws, CFG).join(
+        ws.select("doc_id", "n_shingles"), "doc_id").toPandas() \
+        .set_index("doc_id").sort_index()
+    got = signatures_from_text(docs, CFG).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert list(ref.index) == list(got.index)
+    assert (ref.simhash == got.simhash).all()
+    assert (ref.n_shingles == got.n_shingles).all()
+    for did in ref.index:
+        assert list(ref.loc[did].minhash) == list(got.loc[did].minhash), did
