@@ -35,7 +35,12 @@ class Catalog(ABC):
     def read(self, name: str) -> DataFrame: ...
 
     @abstractmethod
-    def overwrite(self, name: str, df: DataFrame, run_id: str) -> None: ...
+    def overwrite(self, name: str, df: DataFrame, run_id: str,
+                  bucket_by: tuple[int, list[str]] | None = None) -> None:
+        """``bucket_by=(n, cols)`` stores the table hash-bucketed (and
+        sorted) by ``cols`` so downstream joins/aggregations on those
+        keys read back shuffle-free (SURVEY.md §4.5: T2/T4 bucketed by
+        doc_id make the verify joins one-sided)."""
 
     @abstractmethod
     def append(self, name: str, df: DataFrame) -> None: ...
@@ -62,16 +67,61 @@ class HadoopCatalog(Catalog):
     def _manifest(self, name: str) -> str:
         return os.path.join(self._dir(name), "_MANIFEST.json")
 
+    def _table_ident(self, name: str) -> str:
+        """Session-catalog identifier for bucketed registration; root
+        hash disambiguates two HadoopCatalogs in one session."""
+        import hashlib
+
+        tag = hashlib.sha1(self.root.encode()).hexdigest()[:8]
+        return f"mk_{tag}_{name}"
+
     def read(self, name: str) -> DataFrame:
         with open(self._manifest(name)) as f:
             m = json.load(f)
-        return self.spark.read.parquet(os.path.join(self._dir(name), m["data"]))
+        path = os.path.join(self._dir(name), m["data"])
+        b = m.get("bucket")
+        if b:
+            # re-register the external bucketed table (bucket metadata
+            # lives in the session catalog, not in parquet files); a
+            # resumed session re-creates it from the manifest, so the
+            # shuffle-free read-back survives restarts. The real
+            # Iceberg path gets this from table metadata instead.
+            tbl = self._table_ident(name)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            cols = ", ".join(f"`{c}` {t}" for c, t in b["schema"])
+            cluster = ", ".join(f"`{c}`" for c in b["cols"])
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING parquet"
+                f" CLUSTERED BY ({cluster}) SORTED BY ({cluster})"
+                f" INTO {b['n']} BUCKETS LOCATION '{path}'")
+            return self.spark.table(tbl)
+        return self.spark.read.parquet(path)
 
-    def overwrite(self, name: str, df: DataFrame, run_id: str) -> None:
+    def overwrite(self, name: str, df: DataFrame, run_id: str,
+                  bucket_by: tuple[int, list[str]] | None = None) -> None:
         d = self._dir(name)
         os.makedirs(d, exist_ok=True)
         data = f"data_{run_id}_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(os.path.join(d, data))
+        path = os.path.join(d, data)
+        bucket_meta = None
+        if bucket_by:
+            n, cols = bucket_by
+            tbl = self._table_ident(name)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            # pre-repartition on the bucket keys: without it every
+            # upstream task writes one file PER bucket it touches
+            # (n_parts x n_buckets small files — the classic pitfall)
+            (df.repartition(n, *cols)
+               .write.mode("overwrite").format("parquet")
+               .bucketBy(n, *cols).sortBy(*cols)
+               .option("path", path).saveAsTable(tbl))
+            bucket_meta = {
+                "n": n, "cols": cols,
+                "schema": [(f.name, f.dataType.simpleString())
+                           for f in df.schema.fields],
+            }
+        else:
+            df.write.mode("overwrite").parquet(path)
         old = None
         if os.path.exists(self._manifest(name)):
             with open(self._manifest(name)) as f:
@@ -80,6 +130,7 @@ class HadoopCatalog(Catalog):
         with open(tmp, "w") as f:
             json.dump({"data": data, "run_id": run_id,
                        "snapshot": uuid.uuid4().hex,
+                       "bucket": bucket_meta,
                        "written_at": time.time()}, f)
         os.replace(tmp, self._manifest(name))   # the atomic flip
         if old and old != data and os.path.exists(os.path.join(d, old)):
@@ -107,6 +158,20 @@ class HadoopCatalog(Catalog):
         with open(self._manifest(name)) as f:
             return json.load(f)["snapshot"]
 
+    def table_bytes(self, name: str) -> int | None:
+        """Total on-disk bytes of the table's current data files
+        (metrics T6 bytes_out attribution)."""
+        if not self.exists(name):
+            return None
+        with open(self._manifest(name)) as f:
+            data = json.load(f)["data"]
+        total = 0
+        for root, _, files in os.walk(os.path.join(self._dir(name), data)):
+            for fn in files:
+                if not fn.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, fn))
+        return total
+
 
 class IcebergCatalog(Catalog):
     """Real-cluster implementation (requires the Iceberg runtime jar +
@@ -122,10 +187,27 @@ class IcebergCatalog(Catalog):
     def read(self, name: str) -> DataFrame:
         return self.spark.table(self._tbl(name))
 
-    def overwrite(self, name: str, df: DataFrame, run_id: str) -> None:
-        (df.writeTo(self._tbl(name))
-           .tableProperty("write.run-id", run_id)
-           .using("iceberg").createOrReplace())
+    def overwrite(self, name: str, df: DataFrame, run_id: str,
+                  bucket_by: tuple[int, list[str]] | None = None) -> None:
+        try:  # Spark 4 home of the partition transforms
+            from pyspark.sql.functions import partitioning as P
+
+            bucket = P.bucket
+        except ImportError:  # pragma: no cover - Spark 3.x fallback
+            from pyspark.sql import functions as F
+
+            bucket = F.bucket
+
+        w = (df.writeTo(self._tbl(name))
+               .tableProperty("write.run-id", run_id)
+               .using("iceberg"))
+        if bucket_by:
+            n, cols = bucket_by
+            # Iceberg's native analog: hidden bucket partition
+            # transform — readers get the same co-location from table
+            # metadata with no session-catalog registration
+            w = w.partitionedBy(*[bucket(n, c) for c in cols])
+        w.createOrReplace()
 
     def append(self, name: str, df: DataFrame) -> None:
         if not self.exists(name):
@@ -143,3 +225,11 @@ class IcebergCatalog(Catalog):
             f"SELECT snapshot_id FROM {self._tbl(name)}.snapshots"
             " ORDER BY committed_at DESC LIMIT 1").first()
         return str(row["snapshot_id"]) if row else None
+
+    def table_bytes(self, name: str) -> int | None:
+        if not self.exists(name):
+            return None
+        row = self.spark.sql(
+            f"SELECT sum(file_size_in_bytes) AS b"
+            f" FROM {self._tbl(name)}.files").first()
+        return int(row["b"]) if row and row["b"] is not None else None

@@ -280,25 +280,53 @@ def q_simhash_sorted(spark, sf_dir):
     """Manku'07 sorted-fingerprint sweep (SURVEY.md §2.5 optional
     variant, off the default path): for each of 4 16-bit rotations,
     order by the rotated fingerprint and compare each doc with its
-    neighbor; keep Hamming <= k pairs."""
-    from pyspark.sql import Window
+    successor; keep Hamming <= k pairs.
 
+    Scale shape (r1 VERDICT wrong #4 — the old version used a GLOBAL
+    Window.orderBy, funnelling the whole table through one partition):
+    rows are range-bucketed by the top byte of the rotated fingerprint
+    (bkt = rot >> 56, monotone in signed order, 256 buckets), the
+    neighbor sweep runs per (rotation, bkt) window, and the missed
+    cross-boundary pairs — exactly (last of bkt, first of next present
+    bkt) — are recovered from a <= 4x256-row boundary aggregate via a
+    broadcast self-join. No single-partition exchange anywhere; the
+    candidate set is IDENTICAL to the global sort's consecutive pairs
+    (pinned by tests/test_simhash_pass.py)."""
     sigs = q_minhash_sig(spark, sf_dir).select("doc_id", "simhash")
-    outs = []
-    for r in range(4):
-        rot = F.expr(
-            f"cast(shiftleft(simhash, {16 * r}) |"
-            f" shiftrightunsigned(simhash, {64 - 16 * r}) as bigint)"
-            if r else "simhash")
-        df = sigs.withColumn("rot", rot)
-        w = Window.orderBy("rot", "doc_id")
-        nxt = df.select("doc_id", "simhash", "rot",
+    rot = F.expr(
+        "cast(shiftleft(simhash, 16 * r) |"
+        " shiftrightunsigned(simhash, (64 - 16 * r) % 64) as bigint)")
+    df = (sigs.withColumn("r", F.explode(F.expr("sequence(0, 3)")))
+          .withColumn("rot", F.when(F.col("r") == 0, F.col("simhash"))
+                             .otherwise(rot))
+          .withColumn("bkt", F.expr("cast(rot >> 56 as int)")))
+
+    w = Window.partitionBy("r", "bkt").orderBy("rot", "doc_id")
+    within = (df.select("r", "bkt", "doc_id", "simhash", "rot",
                         F.lead("doc_id").over(w).alias("dst"),
                         F.lead("simhash").over(w).alias("fp_dst"))
-        outs.append(nxt.where(F.col("dst").isNotNull()))
-    cand = outs[0]
-    for o in outs[1:]:
-        cand = cand.unionByName(o)
+              .where(F.col("dst").isNotNull()))
+
+    # bounded boundary table: one (first, last) struct pair per
+    # (rotation, present bucket) — <= 1024 rows at ANY corpus size
+    b = (df.groupBy("r", "bkt")
+         .agg(F.min(F.struct("rot", "doc_id", "simhash")).alias("lo"),
+              F.max(F.struct("rot", "doc_id", "simhash")).alias("hi")))
+    nxt = (b.alias("x")
+           .join(F.broadcast(b.alias("y")),
+                 (F.col("x.r") == F.col("y.r"))
+                 & (F.col("y.bkt") > F.col("x.bkt")))
+           .groupBy(F.col("x.r").alias("r"), F.col("x.bkt").alias("bkt"),
+                    F.col("x.hi").alias("hi"))
+           .agg(F.min_by(F.col("y.lo"), F.col("y.bkt")).alias("nlo")))
+    boundary = nxt.select(
+        F.col("hi.doc_id").alias("doc_id"),
+        F.col("hi.simhash").alias("simhash"),
+        F.col("nlo.doc_id").alias("dst"),
+        F.col("nlo.simhash").alias("fp_dst"))
+
+    cand = within.select("doc_id", "simhash", "dst", "fp_dst") \
+        .unionByName(boundary)
     ham = F.bit_count(F.expr("simhash ^ fp_dst"))
     return (cand.where(ham <= CFG.hamming_max)
             .select(F.least("doc_id", "dst").alias("src"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 import time
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from miekki import schemas
 from miekki.catalog import Catalog
@@ -48,18 +48,24 @@ def emit_partition_metrics(catalog: Catalog, run_id: str, stage: str,
                            table: str, wall_ms: int) -> None:
     """T6: one row per output partition of the just-written table —
     read back (column-pruned) and counted by spark_partition_id.
-    bytes_out approximates row payload via the written files' total
-    size attributed proportionally."""
+    bytes_out = the table's real on-disk bytes (catalog.table_bytes)
+    attributed to partitions proportionally by row count; a stage's
+    rows_in is by construction the upstream stage's sum(rows_out), so
+    T6 carries outputs only (SURVEY.md §1.2)."""
     df = catalog.read(table)
     per_part = (df.groupBy(F.spark_partition_id().alias("partition_id"))
                   .agg(F.count(F.lit(1)).alias("rows_out")))
+    total_bytes = catalog.table_bytes(table) or 0
     ts = datetime.now(timezone.utc)
+    w_total = F.sum("rows_out").over(Window.partitionBy())
     out = per_part.select(
         F.lit(run_id).alias("run_id"),
         F.lit(stage).alias("stage"),
         F.col("partition_id").cast("int"),
         F.col("rows_out").cast("long"),
-        F.lit(0).cast("long").alias("bytes_out"),
+        F.round(F.lit(total_bytes) * F.col("rows_out")
+                / F.greatest(w_total, F.lit(1)))
+         .cast("long").alias("bytes_out"),
         F.lit(wall_ms).cast("long").alias("wall_ms"),
         F.lit(ts).alias("ts"),
     )
@@ -80,7 +86,8 @@ class StageRunner:
         self.executed: list[str] = []
         self.skipped: list[str] = []
 
-    def materialize(self, stage: str, table: str, build, input_snapshot: str) -> DataFrame:
+    def materialize(self, stage: str, table: str, build, input_snapshot: str,
+                    bucket_by: tuple[int, list[str]] | None = None) -> DataFrame:
         """build: () -> DataFrame. Returns the (possibly pre-existing)
         table contents."""
         if self.lineage.is_done(stage, input_snapshot, self.config_hash) \
@@ -90,7 +97,8 @@ class StageRunner:
         t0 = time.time()
         self.lineage.mark(self.run_id, stage, input_snapshot,
                           self.config_hash, "started")
-        self.catalog.overwrite(table, build(), self.run_id)
+        self.catalog.overwrite(table, build(), self.run_id,
+                               bucket_by=bucket_by)
         wall_ms = int((time.time() - t0) * 1000)
         if self.collect_metrics:
             emit_partition_metrics(self.catalog, self.run_id, stage,

@@ -63,7 +63,7 @@ def run(spark, catalog, cfg: DedupConfig = DedupConfig(),
         run_id: str = "run0", corpus_table: str = "corpus",
         check_invariant: bool = False,
         use_simhash: bool = True, use_substr: bool = True,
-        collect_metrics: bool = True) -> dict:
+        collect_metrics: bool = True, n_buckets: int = 32) -> dict:
     """Durable pipeline: corpus table → checkpointed T1/T2/T4/T5 in
     the catalog with lineage + per-partition metrics (O21–O23).
 
@@ -87,11 +87,13 @@ def run(spark, catalog, cfg: DedupConfig = DedupConfig(),
 
     if check_invariant:
         from miekki.stages.extract import invariant_violations
+        from miekki.stages.normalize import assert_nfc_sample
 
         bad = invariant_violations(corpus).first()["n_violations"]
         if bad:
             raise RuntimeError(
                 f"extract invariant violated on {bad} rows (BASELINE input_hint)")
+        assert_nfc_sample(corpus)
 
     docs = runner.materialize(
         "docs_norm", "docs_norm",
@@ -99,12 +101,16 @@ def run(spark, catalog, cfg: DedupConfig = DedupConfig(),
         .select("doc_id", "url", "lang", "norm_text"),
         corpus_snap)
 
+    # T2 bucketed by doc_id: both verify joins (src- and dst-side)
+    # then read the signatures shuffle-free (SURVEY.md §4.5); at
+    # 10^12 docs n_buckets is sized so one bucket ~ one executor core
+    # worth of signatures (physical knob, not part of config_hash).
     docs_snap = catalog.snapshot_id("docs_norm")
     sigs = runner.materialize(
         "signatures", "signatures",
         lambda: signatures_from_text(
             docs.select("doc_id", "norm_text"), cfg),
-        docs_snap)
+        docs_snap, bucket_by=(n_buckets, ["doc_id"]))
 
     def build_edges():
         e = candidate_edges(sigs, cfg, use_simhash=use_simhash)
@@ -117,7 +123,8 @@ def run(spark, catalog, cfg: DedupConfig = DedupConfig(),
 
     edges_snap = f"{docs_snap}+{catalog.snapshot_id('signatures')}"
     edges = runner.materialize("candidate_edges", "candidate_edges",
-                               build_edges, edges_snap)
+                               build_edges, edges_snap,
+                               bucket_by=(n_buckets, ["src"]))
 
     def build_labels():
         pairs = edges.select("src", "dst").dropDuplicates(["src", "dst"])

@@ -28,6 +28,30 @@ def norm_text_col(col_name: str = "text") -> F.Column:
         F.lower(F.coalesce(F.col(col_name), F.lit(""))), WS_PATTERN, " "))
 
 
+def assert_nfc_sample(corpus: DataFrame, max_rows: int = 512,
+                      text_col: str = "text") -> int:
+    """Sampled NFC guard (SURVEY.md §2.1): byte-identity with the
+    oracle (and the exact-substring pass) assumes the corpus arrives
+    NFC-normalized; non-NFC input would silently break parity rather
+    than error. Checks a deterministic ``max_rows`` sample driver-side
+    (unicodedata.is_normalized is C-speed; the sample is tiny by
+    design) and raises listing offending rows. Returns the number of
+    rows checked."""
+    import unicodedata
+
+    rows = (corpus.select(text_col)
+            .where(F.col(text_col).isNotNull())
+            .limit(max_rows).collect())
+    bad = [r[0][:60] for r in rows
+           if not unicodedata.is_normalized("NFC", r[0])]
+    if bad:
+        raise ValueError(
+            f"{len(bad)}/{len(rows)} sampled texts are not NFC-normalized"
+            f" (first: {bad[0]!r}); run NFC normalization upstream or"
+            " byte-identity with the pinned semantics cannot hold")
+    return len(rows)
+
+
 def normalize(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
     """T0 corpus → T1 docs_norm (doc_id, url, lang, norm_text)."""
     return corpus.select(

@@ -56,7 +56,12 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
                             "left_semi")
     cand = star_edges(active, ["band_id", "band_hash"], cfg)
 
+    # dropDuplicates(doc_id): foreachBatch is at-least-once, so a
+    # replayed batch (or a re-crawled url) may have appended the same
+    # signature rows; labels stay correct without this, but verify
+    # joins would fan out on the duplicate rows (ADVICE r1)
     all_sigs = (catalog.read("stream_signatures").unionByName(sigs)
+                .dropDuplicates(["doc_id"])
                 if have_state else sigs)
     edges = verify_edges(cand, all_sigs, cfg).select("src", "dst")
 
@@ -95,10 +100,25 @@ def run_incremental_stream(spark: SparkSession, catalog: Catalog,
               .withWatermark("warc_ts", "1 day"))
 
     def process(batch_df: DataFrame, batch_id: int):
+        """foreachBatch is at-least-once: a ledger row per applied
+        batch_id makes the state writes effectively-once — a replayed
+        batch is skipped instead of appended twice (the window between
+        state-append and ledger-append is additionally covered by the
+        dropDuplicates in incremental_dedup_batch)."""
         if batch_df.isEmpty():
             return
+        if catalog.exists("stream_batches"):
+            done = catalog.read("stream_batches") \
+                .where(F.col("batch_id") == int(batch_id)).limit(1).count()
+            if done:
+                return
         incremental_dedup_batch(spark, catalog, batch_df, cfg,
                                 run_id=f"stream_b{batch_id}")
+        ledger = spark.createDataFrame([(int(batch_id),)], "batch_id long")
+        if catalog.exists("stream_batches"):
+            catalog.append("stream_batches", ledger)
+        else:
+            catalog.overwrite("stream_batches", ledger, f"b{batch_id}")
 
     writer = (stream.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir))

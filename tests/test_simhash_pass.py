@@ -3,6 +3,7 @@ hand-built fingerprints, block-banding recall guarantee, hot-bucket
 boundedness (SURVEY.md §2.5)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from miekki.config import DedupConfig
 from miekki.stages.simhash import simhash_candidate_edges
@@ -75,3 +76,33 @@ def test_all_edges_satisfy_hamming(spark, corpus_df):
     assert edges, "fixture corpus must produce simhash edges (exact dups)"
     for e in edges:
         assert hamming64(fp[e.src], fp[e.dst]) <= cfg.hamming_max
+
+
+def test_simhash_sorted_matches_global_sort(spark):
+    """The range-bucketed + boundary-join rewrite of the Manku sorted
+    sweep must produce EXACTLY the global-sort candidate pairs."""
+    from pyspark.sql import Window
+    from miekki.driver_queries import CFG as DCFG, q_minhash_sig, q_simhash_sorted
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.src, r.dst)
+           for r in q_simhash_sorted(spark, sf).collect()}
+
+    sigs = q_minhash_sig(spark, sf).select("doc_id", "simhash")
+    ref = set()
+    for rr in range(4):
+        rot = F.expr(
+            f"cast(shiftleft(simhash, {16 * rr}) |"
+            f" shiftrightunsigned(simhash, {64 - 16 * rr}) as bigint)"
+            if rr else "simhash")
+        df = sigs.withColumn("rot", rot)
+        w = Window.orderBy("rot", "doc_id")
+        nxt = (df.select("doc_id", "simhash",
+                         F.lead("doc_id").over(w).alias("dst"),
+                         F.lead("simhash").over(w).alias("fp_dst"))
+               .where(F.col("dst").isNotNull()))
+        for r in nxt.collect():
+            if bin((r.simhash ^ r.fp_dst) & ((1 << 64) - 1)).count("1") \
+                    <= DCFG.hamming_max:
+                ref.add((min(r.doc_id, r.dst), max(r.doc_id, r.dst)))
+    assert got == ref

@@ -109,3 +109,21 @@ def test_fused_kernel_parity(spark, corpus_df):
     assert (ref.n_shingles == got.n_shingles).all()
     for did in ref.index:
         assert list(ref.loc[did].minhash) == list(got.loc[did].minhash), did
+
+
+def test_nfc_sample_guard(spark):
+    """SURVEY.md §2.1: non-NFC input must fail fast (sampled check),
+    not silently break oracle byte-parity."""
+    import unicodedata
+
+    import pytest
+
+    from miekki.stages.normalize import assert_nfc_sample
+
+    good = spark.createDataFrame([("café très bien",), (None,)],
+                                 "text string")
+    assert assert_nfc_sample(good) == 1
+    nfd = unicodedata.normalize("NFD", "café très bien")
+    bad = spark.createDataFrame([(nfd,)], "text string")
+    with pytest.raises(ValueError, match="not NFC"):
+        assert_nfc_sample(bad)
