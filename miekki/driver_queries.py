@@ -505,6 +505,14 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(vecs, queries, k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    from miekki.embeddings import ivf_topk
+
+    vecs = _emb(spark, sf_dir).localCheckpoint()
+    queries = vecs.where(F.col("vec_id") < 20)
+    return ivf_topk(vecs, queries, k=5)
+
+
 def q_embedding_dedup(spark, sf_dir):
     """Near-dup edges at cosine >= 0.95. The raw testdata embeddings
     are near-uniform on the sphere (max pairwise cosine ~0.3), which
@@ -563,6 +571,65 @@ def q_windowed_events(spark, sf_dir):
         "event_type", "n_events", "sum_value")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each click event gets the latest preceding purchase
+    value of the same user (union-and-carry implementation — one
+    shuffle, no range cross-join); DuckDB's native ASOF JOIN is the
+    oracle."""
+    from miekki.relops import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    purchases = e.where(F.col("event_type") == "purchase")
+    out = asof_join(clicks, purchases, on="user_id", ts_col="ts",
+                    value_cols=["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("click_epoch"),
+        F.round("value_asof", 2).alias("prev_purchase_value"))
+
+
+def q_semi_anti(spark, sf_dir):
+    """left_semi / left_anti joins (SURVEY.md §2.0b row): documents
+    with and without a matching embedding row."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"))
+    semi = d.join(e, "doc_id", "left_semi").count()
+    anti = d.join(e, "doc_id", "left_anti").count()
+    return spark.createDataFrame([(semi, anti)],
+                                 "n_semi bigint, n_anti bigint")
+
+
+def q_id_collisions(spark, sf_dir):
+    """Doc-id collision audit, exercised on a 997-bucket surrogate id
+    (real 64-bit xxhash64 ids collide with p~1e-17 per pair — no
+    collisions exist at test scale, so the surrogate forces real
+    work through the operator); DuckDB twin replays it exactly."""
+    from miekki.stages.normalize import audit_id_collisions
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(997)).alias("doc_id"),
+        F.col("doc_id").cast("string").alias("url"))
+    return audit_id_collisions(docs)
+
+
+def q_sessions(spark, sf_dir):
+    """Inactivity-gap sessionization (batch twin of the stateful
+    streaming operator); epoch seconds out for engine-neutral
+    hashing."""
+    from miekki.streaming import sessionize_events_batch
+
+    out = sessionize_events_batch(_t(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp").cast("long")
+         .alias("start_epoch"),
+        F.col("session_end").cast("timestamp").cast("long")
+         .alias("end_epoch"),
+        "n_events", "sum_value")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from miekki.stages.substr import anchor_table
 
@@ -616,12 +683,17 @@ QUERIES: dict[str, Callable] = {
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_dedup": q_embedding_dedup,
     "media_decode": q_media_decode,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "doc_fingerprint": q_doc_fingerprint,
     "windowed_events": q_windowed_events,
+    "sessions": q_sessions,
+    "id_collisions": q_id_collisions,
+    "asof_join": q_asof_join,
+    "semi_anti": q_semi_anti,
 }
 
 _NORM_CTE = f"SELECT doc_id, {_NORM_DUCK} AS norm FROM documents"
@@ -660,6 +732,39 @@ ORACLE_SQL: dict[str, str] = {
         " AS window_epoch, event_type, count(*) AS n_events,"
         " round(sum(value), 2) AS sum_value FROM events"
         " GROUP BY 1, 2"),
+    "asof_join": (
+        "SELECT a.event_id, a.user_id,"
+        " CAST(floor(epoch(a.ts)) AS BIGINT) AS click_epoch,"
+        " round(b.value, 2) AS prev_purchase_value"
+        " FROM (SELECT * FROM events WHERE event_type = 'click') a"
+        " ASOF LEFT JOIN"
+        " (SELECT * FROM events WHERE event_type = 'purchase') b"
+        " ON a.user_id = b.user_id AND b.ts <= a.ts"),
+    "semi_anti": (
+        "SELECT (SELECT count(*) FROM documents WHERE doc_id IN"
+        " (SELECT vec_id FROM embeddings)) AS n_semi,"
+        " (SELECT count(*) FROM documents WHERE doc_id NOT IN"
+        " (SELECT vec_id FROM embeddings)) AS n_anti"),
+    "id_collisions": (
+        "SELECT doc_id, n_urls FROM ("
+        " SELECT ((doc_id % 997) + 997) % 997 AS doc_id,"
+        " CAST(count(DISTINCT doc_id) AS BIGINT) AS n_urls"
+        " FROM documents GROUP BY 1) WHERE n_urls > 1"),
+    # floor(epoch(...)) matches Spark's cast(timestamp as long)
+    # truncation; a bare CAST in DuckDB would ROUND the sub-second part
+    "sessions": (
+        "WITH x AS (SELECT user_id, ts, event_id, value,"
+        " CASE WHEN lag(ts) OVER w IS NULL"
+        " OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END"
+        " AS ns FROM events"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+        " y AS (SELECT *, sum(ns) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM x)"
+        " SELECT user_id,"
+        " CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,"
+        " CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,"
+        " count(*) AS n_events, round(sum(value), 2) AS sum_value"
+        " FROM y GROUP BY user_id, sess"),
     "exact_dups": (
         "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(norm))"
         f" AS exact_cluster FROM ({_NORM_CTE})"),
@@ -777,6 +882,21 @@ def _extras_oracle_sql() -> dict[str, str]:
             " round(length(list_intersect(a.grams, b.grams))"
             " / length(list_distinct(a.grams || b.grams)), 4) AS jaccard_w3"
             " FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"),
+        # ::DOUBLE[] matters: DuckDB then does the same float32→double
+        # upcast as the Spark side, making round(...,6) EXACTLY equal
+        # (verified 0 ulp at sf0.01); without it the float32 fold
+        # differs in the 6th decimal
+        "ann_brute": (
+            "SELECT query_id, neighbor_id, rank, cosine FROM ("
+            " SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,"
+            " round(list_cosine_similarity(q.embedding::DOUBLE[],"
+            " v.embedding::DOUBLE[]), 6) AS cosine,"
+            " CAST(row_number() OVER (PARTITION BY q.vec_id"
+            " ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],"
+            " v.embedding::DOUBLE[]) DESC, v.vec_id) AS INT) AS rank"
+            " FROM embeddings q, embeddings v"
+            " WHERE q.vec_id < 20 AND q.vec_id <> v.vec_id)"
+            " WHERE rank <= 5"),
         "embedding_norms": (
             "SELECT vec_id, CAST(length(embedding) AS INT) AS dim,"
             " round(sqrt(list_aggregate(list_transform(embedding,"

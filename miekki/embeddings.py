@@ -130,6 +130,87 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("cosine", 6).alias("cosine")))
 
 
+def kmeans_centroids(vectors: DataFrame, n_centroids: int = 32,
+                     sample: int = 20_000, iters: int = 10,
+                     seed: int = 42, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Coarse quantizer for IVF: Lloyd k-means fit driver-side on a
+    bounded, DETERMINISTIC sample (lowest ids — TakeOrderedAndProject,
+    no full sort), returning L2-normalized (k, dim) centroids.
+
+    At 10^12 vectors the quantizer is always fit on a sample; what
+    must stay distributed is ASSIGNMENT, which ivf_topk does via one
+    numpy matmul per Arrow batch. Empty cells are re-seeded from the
+    farthest points so k stays exact."""
+    pdf = (vectors.select(id_col, vec_col).orderBy(id_col)
+           .limit(sample).toPandas())
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    c = m[rng.choice(len(m), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = m @ c.T                        # cosine == dot (unit)
+        assign = sims.argmax(axis=1)
+        for j in range(n_centroids):
+            members = m[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+            else:                             # re-seed empty cell
+                c[j] = m[sims.max(axis=1).argmin()]
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def _cell_udf(centroids: np.ndarray, top: int = 1):
+    """argmax-cosine cell id(s) per vector — one matmul per batch
+    (same scale shape as _bucket_udf). top=1 → int cell; top>1 →
+    array<int> of the ``top`` nearest cells (query-side multiprobe)."""
+    c = centroids.astype(np.float64).T        # (dim, k)
+
+    def fn(s):
+        import pandas as pd
+
+        if not len(s):
+            return pd.Series([], dtype="object" if top > 1 else "int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        sims = m @ c
+        if top == 1:
+            return pd.Series(sims.argmax(axis=1).astype(np.int32))
+        idx = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return F.pandas_udf(fn, "array<int>" if top > 1 else "int")
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 32, n_probe: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k — the second ANN scale path next to
+    sign-LSH (ROADMAP r1 #7): a sampled k-means coarse quantizer
+    partitions the corpus into cells; each query scans only its
+    ``n_probe`` nearest cells (~n_probe/n_centroids of the corpus).
+    Shuffle-on-cell, never all-pairs; recall vs brute force pinned in
+    tests/test_extras.py."""
+    cents = kmeans_centroids(vectors, n_centroids,
+                             id_col=id_col, vec_col=vec_col)
+    cand = (_with_norm(vectors, vec_col, "vb", "norm_b")
+            .withColumn("cell", _cell_udf(cents)(F.col(vec_col)))
+            .select(F.col(id_col).alias("neighbor_id"), "vb", "norm_b",
+                    "cell"))
+    q = (_with_norm(queries, vec_col, "va", "norm_a")
+         .withColumn("cells", _cell_udf(cents, top=n_probe)(F.col(vec_col)))
+         .select(F.col(id_col).alias("query_id"), "va", "norm_a",
+                 F.explode("cells").alias("cell")))
+    scored = (cand.join(F.broadcast(q), "cell")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine", F.expr(COS)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
+
+
 def plant_near_dups(vectors: DataFrame, n: int = 50,
                     id_offset: int = 1_000_000,
                     id_col: str = "vec_id",

@@ -23,8 +23,14 @@ def build_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        # AQE's byte-based partition coalescing SERIALIZES the
+        # CPU-heavy post-shuffle aggregations (salted collect_list
+        # star-edges, simhash/substr buckets): band rows are ~30 B but
+        # cost ~µs each, so "one 128 MB partition" = one multi-minute
+        # task. Measured on the star stage at 16 cores: 43.1 s with
+        # coalescing (18 partitions) vs 13.6 s without (128) — the r2
+        # scaling-efficiency killer. Skew-join handling stays on.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html rows are ~KBs; default 10k-record Arrow batches would be

@@ -11,7 +11,17 @@ component — partitioning-invariant by construction.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
+
+log = logging.getLogger(__name__)
+
+# rounds-to-convergence of the last cc_fixpoint call (ROADMAP r1 #2:
+# instrument the fixpoint; observed 2-7 on real corpora — grows
+# O(log max-component-diameter), so 10^12-doc boilerplate clusters
+# still converge in ~10 rounds once star edges shorten the paths)
+LAST_ROUNDS: int | None = None
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -61,16 +71,35 @@ def cc_fixpoint(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     # materialize the input edge set once — every star round reads it
     # twice (groupBy + join back); without this the whole upstream
     # pipeline would re-execute per use (SURVEY.md §4.2)
+    global LAST_ROUNDS
     e = edges.select("src", "dst").where("src != dst").distinct().localCheckpoint()
     prev = _edge_stats(e)
     if prev[0] == 0:
+        LAST_ROUNDS = 0
         return e
-    for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint()
-        cur = _edge_stats(e)
-        if cur == prev:
-            return e
-        prev = cur
+    # Adaptive partition count for the round loop: each round is ~8
+    # shuffle stages and the edge table shrinks fast, so running 6
+    # rounds at the global partition count (sized for the band table)
+    # is thousands of near-empty tasks — pure scheduler latency, the
+    # serial fraction that caps scaling efficiency. ~2M edges per
+    # partition keeps tasks meaningful at any scale (10^12-doc runs
+    # still get tens of thousands of partitions).
+    spark = e.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(16, min(int(old_parts), prev[0] // 2_000_000 + 16))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    try:
+        for i in range(max_iter):
+            e = small_star(large_star(e)).localCheckpoint()
+            cur = _edge_stats(e)
+            if cur == prev:
+                LAST_ROUNDS = i + 1
+                log.info("cc_fixpoint converged in %d rounds (%d edges)",
+                         i + 1, cur[0])
+                return e
+            prev = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     raise RuntimeError(f"CC did not converge in {max_iter} iterations")
 
 

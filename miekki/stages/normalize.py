@@ -62,6 +62,19 @@ def normalize(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def audit_id_collisions(docs: DataFrame, id_col: str = "doc_id",
+                        url_col: str = "url") -> DataFrame:
+    """64-bit doc_id = xxhash64(url) expects ~2.7x10^4 birthday
+    collisions at 10^12 docs (SCALE.md collision math); a collision
+    silently merges two unrelated urls into one doc. This audit
+    surfaces them — (doc_id, n_urls) for every id claimed by more
+    than one distinct url — so a run can fail fast or route the
+    colliding ids to the 128-bit path (ROADMAP)."""
+    return (docs.groupBy(id_col)
+            .agg(F.countDistinct(url_col).alias("n_urls"))
+            .where(F.col("n_urls") > 1))
+
+
 def shingle_expr(cfg: DedupConfig, text_col: str = "norm_text") -> F.Column:
     """Distinct char-k-shingle hashes: array<long>, always >= 1 element
     (docs shorter than k yield one whole-text shingle, SURVEY.md §2.1)."""

@@ -11,7 +11,7 @@ from its checkpoint AND the catalog stays the source of truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from miekki.catalog import Catalog
 from miekki.config import DedupConfig
@@ -127,6 +127,98 @@ def run_incremental_stream(spark: SparkSession, catalog: Catalog,
         q.awaitTermination()
         return q
     return writer.start()
+
+
+SESSION_SCHEMA = ("user_id long, session_start timestamp,"
+                  " session_end timestamp, n_events long, sum_value double")
+_SESSION_STATE = "start long, last long, n long, sv double"
+
+
+def sessionize_events_batch(events: DataFrame,
+                            gap_minutes: int = 30) -> DataFrame:
+    """Inactivity-gap sessionization, batch form: a new session starts
+    when the previous event of the same user is more than
+    ``gap_minutes`` away (or there is none); running sum of
+    new-session flags numbers the sessions. Plain SQL — this is the
+    DuckDB-checkable twin of the stateful streaming operator below
+    (driver key `sessions`)."""
+    gap_s = gap_minutes * 60
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts arrives as TIMESTAMP_NTZ from parquet; ANSI forbids a direct
+    # long cast, so go NTZ -> timestamp (session tz is pinned UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w)
+    new_sess = (prev.isNull() | (epoch - prev > gap_s)).cast("int")
+    numbered = (events
+                .withColumn("new_sess", new_sess)
+                .withColumn("sess_no", F.sum("new_sess").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (numbered.groupBy("user_id", "sess_no")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .drop("sess_no"))
+
+
+def sessionize_events_stream(events_stream: DataFrame,
+                             gap_minutes: int = 30,
+                             watermark: str = "1 hour") -> DataFrame:
+    """The same sessionization as a CUSTOM STATEFUL STREAMING operator
+    (SURVEY.md §2.9): applyInPandasWithState keyed by user_id with an
+    event-time timeout. In-batch gaps close sessions immediately; the
+    trailing open session lives in the state store and is emitted when
+    the watermark passes its gap deadline — so results converge to the
+    batch twin above as the stream drains. State per user is four
+    scalars; the state store stays O(active users)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="ms")],
+                "session_end": [pd.Timestamp(last, unit="ms")],
+                "n_events": [n], "sum_value": [round(sv, 2)]})
+            return
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_ms = (rows.ts.astype("int64") // 1_000_000).to_numpy()
+        vals = rows.value.to_numpy()
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = None
+        out = []
+        for t, v in zip(ts_ms, vals):
+            if start is None:
+                start, last, n, sv = int(t), int(t), 1, float(v)
+            elif t - last > gap_ms:
+                out.append((start, last, n, sv))
+                start, last, n, sv = int(t), int(t), 1, float(v)
+            else:
+                last, n, sv = int(t), n + 1, sv + float(v)
+        state.update((start, last, n, sv))
+        state.setTimeoutTimestamp(last + gap_ms)
+        if out:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(out),
+                "session_start": [pd.Timestamp(s, unit="ms") for s, *_ in out],
+                "session_end": [pd.Timestamp(e, unit="ms") for _, e, *_ in out],
+                "n_events": [n_ for *_, n_, _sv in out],
+                "sum_value": [round(sv_, 2) for *_, sv_ in out]})
+
+    return (events_stream.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, SESSION_SCHEMA, _SESSION_STATE,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

@@ -25,8 +25,8 @@ def main():
     from miekki.session import build_spark
     from miekki.stages.cc import cc_labels
     from miekki.stages.lsh import minhash_candidate_edges
-    from miekki.stages.normalize import normalize, with_shingles
-    from miekki.stages.signatures import compute_signatures
+    from miekki.stages.normalize import normalize
+    from miekki.stages.signatures import signatures_from_text
     from miekki.stages.simhash import simhash_candidate_edges
     from miekki.stages.substr import substr_candidate_edges
     from miekki.stages.verify import verify_edges
@@ -49,8 +49,7 @@ def main():
         return out
 
     docs = timed("normalize", lambda: normalize(corpus, cfg).localCheckpoint())
-    shing = timed("shingle", lambda: with_shingles(docs, cfg).localCheckpoint())
-    sigs = timed("signatures", lambda: compute_signatures(shing, cfg).localCheckpoint())
+    sigs = timed("signatures_fused", lambda: signatures_from_text(docs, cfg).localCheckpoint())
     cand = timed("lsh_band_star", lambda: minhash_candidate_edges(sigs, cfg).localCheckpoint())
     mh = timed("verify", lambda: verify_edges(cand, sigs, cfg).localCheckpoint())
     sh = timed("simhash", lambda: simhash_candidate_edges(sigs, cfg).localCheckpoint())

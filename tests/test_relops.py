@@ -1,0 +1,43 @@
+"""asof_join semantics on hand-built fixtures (the driver key
+cross-checks against DuckDB's native ASOF JOIN at sf0.01)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_asof_join_basic(spark):
+    from miekki.relops import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    mins = lambda m: base + pd.Timedelta(minutes=m)
+    left = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 1, 1, 2, 3],
+                      "ts": [mins(0), mins(10), mins(20), mins(5), mins(9)],
+                      "event_id": [10, 11, 12, 20, 30]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 1, 2, 9],
+                      "ts": [mins(5), mins(10), mins(99), mins(0)],
+                      "value": [1.0, 2.0, 3.0, 4.0]}))
+    got = (asof_join(left, right, on="user_id", ts_col="ts",
+                     value_cols=["value"])
+           .orderBy("event_id").toPandas())
+    # event 10 (t0): no purchase yet -> NULL; event 11 (t10): ties are
+    # inclusive -> 2.0; event 12 (t20): latest is t10 -> 2.0;
+    # user 2 (t5): right row is later (t99) -> NULL; user 3: no right
+    assert got.event_id.tolist() == [10, 11, 12, 20, 30]
+    vals = got.value_asof.tolist()
+    assert pd.isna(vals[0]) and vals[1] == 2.0 and vals[2] == 2.0
+    assert pd.isna(vals[3]) and pd.isna(vals[4])
+    # all left columns survive
+    assert {"user_id", "ts", "event_id", "value_asof"} <= set(got.columns)
+
+
+def test_asof_join_no_single_partition_exchange(spark):
+    from miekki.relops import asof_join
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = asof_join(e.where(F.col("event_type") == "click"),
+                    e.where(F.col("event_type") == "purchase"),
+                    on="user_id", ts_col="ts", value_cols=["value"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan

@@ -90,3 +90,76 @@ def test_windowed_event_counts(spark):
     pd.testing.assert_frame_equal(
         got.sort_values(key).reset_index(drop=True),
         oracle.sort_values(key).reset_index(drop=True))
+
+
+def test_sessionize_batch_sanity(spark):
+    """Every event lands in exactly one session; session bounds
+    respect the gap; sums reconcile."""
+    from miekki.streaming import sessionize_events_batch
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sess = sessionize_events_batch(events, gap_minutes=30).toPandas()
+    assert sess.n_events.sum() == events.count()
+    assert (sess.session_end >= sess.session_start).all()
+    per_user = sess.sort_values(["user_id", "session_start"])
+    gaps_ok = True
+    for _, grp in per_user.groupby("user_id"):
+        starts = grp.session_start.iloc[1:].values
+        ends = grp.session_end.iloc[:-1].values
+        if len(starts) and not (
+                (starts - ends) > pd.Timedelta(minutes=30).to_timedelta64()).all():
+            gaps_ok = False
+    assert gaps_ok
+
+
+def test_sessionize_stream_converges_to_batch(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization over a real two-trigger
+    stream == the batch twin, once a late watermark-driving event
+    flushes the open sessions."""
+    from miekki.streaming import (sessionize_events_batch,
+                                  sessionize_events_stream)
+    from pyspark.sql import types as T
+
+    root = tmp_path_factory.mktemp("sess")
+    src, ckpt, out = str(root / "in"), str(root / "ck"), str(root / "out")
+    os.makedirs(src, exist_ok=True)
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows1 = [  # user 1: two sessions (gap 45m); user 2: one session
+        (1, 1, base, 1.0), (2, 1, base + pd.Timedelta(minutes=10), 2.0),
+        (3, 1, base + pd.Timedelta(minutes=55), 4.0),
+        (4, 2, base + pd.Timedelta(minutes=5), 8.0),
+    ]
+    # batch 2: a far-future marker event pushes the watermark past
+    # every open session's deadline (its own session stays open)
+    rows2 = [(9, 99, base + pd.Timedelta(days=2), 0.5)]
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType())])
+
+    def run_once(pdf):
+        spark.createDataFrame(pdf, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (sessionize_events_stream(stream, gap_minutes=30,
+                                      watermark="1 minute")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once(pd.DataFrame(rows1, columns=["event_id", "user_id", "ts", "value"]))
+    run_once(pd.DataFrame(rows2, columns=["event_id", "user_id", "ts", "value"]))
+
+    got = (spark.read.parquet(out)
+           .toPandas().sort_values(["user_id", "session_start"])
+           .reset_index(drop=True))
+    events = spark.createDataFrame(
+        pd.DataFrame(rows1, columns=["event_id", "user_id", "ts", "value"]),
+        schema)
+    want = (sessionize_events_batch(events, gap_minutes=30)
+            .toPandas().sort_values(["user_id", "session_start"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_dtype=False)
