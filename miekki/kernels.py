@@ -20,10 +20,15 @@ from miekki.textproc import extract_text
 
 SIG_SCHEMA = "doc_id long, minhash array<bigint>, simhash bigint"
 
-# memory governor for the permutation matrix: perm-block x value-chunk
-# x 8B stays ~50 MB per python worker (SURVEY.md §4.3)
+# memory + CACHE governor for the hot kernels. The minhash loop makes
+# n_perm=128 full passes over the value chunk (multiply + reduceat),
+# so the chunk must fit in per-core L2 (2 MiB here) or every pass
+# streams DRAM: measured on this host, 32k-value chunks (256 KB) make
+# the kernel 1.45x faster single-core AND flat under 4-way parallelism
+# where 200k-value chunks degrade 1.6x (memory bandwidth saturates) —
+# the r2 scaling-efficiency fix for the signature stage.
 _PERM_BLOCK = 32
-_MAX_CHUNK_VALUES = 200_000
+_MAX_CHUNK_VALUES = 32_000
 
 
 def _row_chunks(offsets: np.ndarray, max_values: int) -> Iterator[tuple[int, int]]:
@@ -142,8 +147,11 @@ _P5 = np.uint64(0x27D4EB2F165667C5)
 _SPARK_SEED = 42
 
 # fused-kernel row-chunk governor: bytes of text per numpy slice
-# (working set ~13x this: window matrix + hashes + lexsort buffers)
-_MAX_CHUNK_BYTES = 4_000_000
+# (working set ~13x this: window matrix + hashes + lexsort buffers).
+# Sized for L2 like _MAX_CHUNK_VALUES: measured on this host the
+# fused kernel runs 2.0x faster at 125 KB than at 4 MB (the lexsort
+# temporaries stop thrashing DRAM) — see BENCH/BASELINE.md.
+_MAX_CHUNK_BYTES = 125_000
 
 
 def _rotl_v(x: np.ndarray, r: int) -> np.ndarray:

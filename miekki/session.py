@@ -24,7 +24,7 @@ def build_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         # AQE's byte-based partition coalescing SERIALIZES the
-        # CPU-heavy post-shuffle aggregations (salted collect_list
+        # CPU-heavy post-shuffle bucket-pairing stages (salted window
         # star-edges, simhash/substr buckets): band rows are ~30 B but
         # cost ~µs each, so "one 128 MB partition" = one multi-minute
         # task. Measured on the star stage at 16 cores: 43.1 s with

@@ -38,28 +38,31 @@ def _chain_pairs(df: DataFrame, part_cols: list[str], c: int) -> DataFrame:
     """Pair each row with its <= c successors in doc_id order within
     the bucket; linear in bucket size.
 
-    groupBy + sort_array(collect_list) instead of a window: one hash
-    aggregation with map-side partials and per-GROUP array sorts
-    (buckets are salt-bounded) — a window would sort the whole table.
-    Pair generation is a JVM-side flatten over the sorted array.
+    lead()/first() over a sorted window instead of
+    sort_array(collect_list) (r2, same rewrite as the LSH star and
+    substr chain operators): WindowExec streams unsafe rows after one
+    shuffle + per-partition sort, where collect_list built one boxed
+    buffer per mostly-singleton bucket — the GC churn that throttled
+    4->16-core scaling of every bucket-pairing stage.
 
     Besides the <=c successor pairs, every member also pairs with the
-    bucket MINIMUM: when those star pairs pass verification (the
-    common case — hot buckets hold near-identical items) the verified
-    component is a star and CC converges in ~2 rounds instead of
-    O(log chain-length); chain pairs remain for the cases where the
-    min fails pairwise verification."""
-    pairs = F.expr(
-        "flatten(transform(ds, (x, i) ->"
-        f" transform(slice(ds, i + 2, {c}), y -> struct(x AS src, y AS dst))))")
-    star = F.expr(
-        "transform(slice(ds, 2, greatest(size(ds) - 1, 0)),"
-        " y -> struct(ds[0] AS src, y AS dst))")
-    pairs = F.concat(pairs, star)
-    return (df.groupBy(*part_cols)
-              .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-              .select(F.explode(pairs).alias("p"))
-              .select("p.src", "p.dst"))
+    bucket MINIMUM (first() over the same window): when those star
+    pairs pass verification (the common case — hot buckets hold
+    near-identical items) the verified component is a star and CC
+    converges in ~2 rounds instead of O(log chain-length); chain pairs
+    remain for the cases where the min fails pairwise verification."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part_cols).orderBy("doc_id")
+    succ = F.array(*[F.lead("doc_id", i).over(w)
+                     for i in range(1, c + 1)])
+    lv = df.select(F.col("doc_id").alias("src"), succ.alias("succ"),
+                   F.first("doc_id").over(w).alias("m"))
+    chain = (lv.select("src", F.explode("succ").alias("dst"))
+             .where(F.col("dst").isNotNull()))
+    star = (lv.where(F.col("src") != F.col("m"))
+            .select(F.col("m").alias("src"), F.col("src").alias("dst")))
+    return chain.unionByName(star.select("src", "dst"))
 
 
 def simhash_candidate_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:

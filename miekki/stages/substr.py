@@ -82,26 +82,34 @@ def anchor_table(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def _chain_pairs_with_pos(df: DataFrame, part_cols: list[str]) -> DataFrame:
     """Within each fp bucket, pair each (doc,pos) with its <= C
-    successors in doc_id order — linear, position-carrying.
+    successors in (doc_id, pos) order — linear, position-carrying.
 
-    groupBy + sort_array(collect_list(struct)) instead of a window:
-    hash aggregation with per-GROUP array sorts (struct sort orders by
-    doc_id first), no whole-table sort shuffle."""
-    pairs = F.expr(
-        "flatten(transform(ds, (x, i) ->"
-        f" transform(slice(ds, i + 2, {CHAIN_SUCCESSORS}),"
-        "  y -> struct(x.doc_id AS src, x.pos AS src_pos,"
-        "              y.doc_id AS dst, y.pos AS dst_pos))))")
-    # star pairs to the bucket minimum: verified stars collapse CC to
-    # ~2 rounds (chains alone are path graphs -> O(log n) rounds)
-    star = F.expr(
-        "transform(slice(ds, 2, greatest(size(ds) - 1, 0)),"
-        " y -> struct(ds[0].doc_id AS src, ds[0].pos AS src_pos,"
-        "             y.doc_id AS dst, y.pos AS dst_pos))")
-    return (df.groupBy(*part_cols)
-              .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pos"))).alias("ds"))
-              .select(F.explode(F.concat(pairs, star)).alias("p"))
-              .select("p.src", "p.src_pos", "p.dst", "p.dst_pos"))
+    lead()/first() over a sorted window instead of
+    sort_array(collect_list(struct)) (r2): the collect_list built 8.8M
+    mostly-singleton boxed-struct buffers per anchor table — GC churn
+    that throttled 4->16-core scaling; WindowExec streams unsafe rows
+    (one salt-bounded GROUP buffered at a time) after one shuffle +
+    per-partition sort. Star pairs to the bucket minimum ride the same
+    window (first() = ds[0]): verified stars collapse CC to ~2 rounds
+    (chains alone are path graphs -> O(log n) rounds)."""
+    w = Window.partitionBy(*part_cols).orderBy("doc_id", "pos")
+    succ = F.array(*[
+        F.struct(F.lead("doc_id", i).over(w).alias("dst"),
+                 F.lead("pos", i).over(w).alias("dst_pos"))
+        for i in range(1, CHAIN_SUCCESSORS + 1)])
+    lv = df.select(
+        F.col("doc_id").alias("src"), F.col("pos").alias("src_pos"),
+        succ.alias("succ"),
+        F.first("doc_id").over(w).alias("m_doc"),
+        F.first("pos").over(w).alias("m_pos"))
+    chain = (lv.select("src", "src_pos", F.explode("succ").alias("p"))
+             .where(F.col("p.dst").isNotNull())
+             .select("src", "src_pos", "p.dst", "p.dst_pos"))
+    star = (lv.where((F.col("src") != F.col("m_doc"))
+                     | (F.col("src_pos") != F.col("m_pos")))
+            .select(F.col("m_doc").alias("src"), F.col("m_pos").alias("src_pos"),
+                    F.col("src").alias("dst"), F.col("src_pos").alias("dst_pos")))
+    return chain.unionByName(star)
 
 
 def candidate_anchor_pairs(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -139,7 +147,7 @@ def make_verify_kernel(cfg: DedupConfig):
             runs = np.empty(len(src), dtype=np.int32)
             for i in range(len(src)):
                 runs[i] = common_run_length(
-                    ta[i].as_py().encode("utf-8"), tb[i].as_py().encode("utf-8"),
+                    ta[i].as_py(), tb[i].as_py(),
                     int(spos[i]), int(dpos[i]), k)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(src), pa.array(dst), pa.array(runs)],
@@ -148,19 +156,51 @@ def make_verify_kernel(cfg: DedupConfig):
     return kernel
 
 
+def _clip(side: str, ext: int, k: int):
+    """Byte-window clip of one side's text around its anchor: emits
+    t_<side> = utf8_bytes[pos-ext : pos+k+ext] and the anchor position
+    rebased into the clip. substring() here is over BINARY (byte
+    positions — the anchor positions are byte offsets, so string
+    substring would shear on non-ASCII text)."""
+    off = f"greatest({side}_pos - {ext}, 0)"
+    return [
+        F.expr(f"substring(tb_{side}, {off} + 1, {2 * ext + k})")
+         .alias(f"t_{side}"),
+        F.expr(f"{side}_pos - {off}").cast("int").alias(f"{side}_cpos"),
+    ]
+
+
 def substr_candidate_edges(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
     """T1 → verified containment edges (origin='substr',
     weight=run_len). Docs shorter than anchor_k bytes can't qualify
-    (run <= doc length < L) and produce no anchors."""
+    (run <= doc length < L) and produce no anchors.
+
+    Verification ships CLIPPED byte windows, not whole documents
+    (r2): the candidate pair table used to carry both full texts
+    through the second join's shuffle and the Arrow boundary —
+    ~5 KB/pair here, 10-100x worse on real web pages. A window of
+    ext = substr_len bytes each side of the anchor decides the
+    threshold EXACTLY: clipped run = min(ext_l, ext) + k +
+    min(ext_r, ext), and if true run >= L then either both sides are
+    uncapped (full run) or a capped side alone contributes ext = L.
+    The reported weight saturates at 2L + k — documented cap, only
+    the threshold decision is semantic."""
     anchors = anchor_table(docs_norm, cfg)
     pairs = candidate_anchor_pairs(anchors, cfg)
-    texts = docs_norm.select("doc_id", "norm_text")
+    ext = cfg.substr_len
+    k = cfg.anchor_k
+    texts = docs_norm.select("doc_id",
+                             F.encode("norm_text", "UTF-8").alias("tb"))
     joined = (pairs
-              .join(texts.withColumnRenamed("doc_id", "src")
-                         .withColumnRenamed("norm_text", "t_src"), "src")
-              .join(texts.withColumnRenamed("doc_id", "dst")
-                         .withColumnRenamed("norm_text", "t_dst"), "dst")
-              .select("src", "dst", "src_pos", "dst_pos", "t_src", "t_dst"))
+              .join(texts.withColumnsRenamed(
+                  {"doc_id": "src", "tb": "tb_src"}), "src")
+              .select("src", "dst", "dst_pos", "src_pos",
+                      *_clip("src", ext, k))
+              .join(texts.withColumnsRenamed(
+                  {"doc_id": "dst", "tb": "tb_dst"}), "dst")
+              .select("src", "dst", F.col("src_cpos").alias("src_pos"),
+                      "t_src", *_clip("dst", ext, k))
+              .withColumnRenamed("dst_cpos", "dst_pos"))
     verified = joined.mapInArrow(make_verify_kernel(cfg), VERIFY_SCHEMA)
     return (verified.where(F.col("run_len") >= cfg.substr_len)
             .groupBy("src", "dst")
