@@ -43,6 +43,14 @@ def dedup_labels(corpus: DataFrame, cfg: DedupConfig = DedupConfig(),
     # signatures feed three consumers (banding + both verify joins):
     # materialize once instead of recomputing the Arrow kernel 3x.
     # pipeline.run() checkpoints T2 to the catalog instead (O23).
+    # localCheckpoint, NOT persist(): an InMemoryRelation would preserve
+    # the doc_id partitioning for the six doc_id-keyed joins downstream,
+    # but measured e2e at 4 cores it DOUBLED the candidate-edge phase
+    # (361 s vs ~130 s) — every branch re-decodes the columnar cache and
+    # whole-stage codegen breaks at the cache boundary, which costs far
+    # more than the skinny join-side exchanges it saves. On a real
+    # cluster the equivalent partition reuse comes free from the
+    # bucketed T1/T2 catalog writes in run() (SURVEY.md §4.5).
     docs = docs.localCheckpoint()
     sigs = signatures_from_text(docs, cfg).localCheckpoint()
     edges = candidate_edges(sigs, cfg, use_simhash=use_simhash)
