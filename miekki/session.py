@@ -44,6 +44,13 @@ def build_spark(
         .config("spark.local.dir",
                 os.environ.get("MIEKKI_LOCAL_DIR", "/dev/shm/miekki_spark"))
     )
+    # MIEKKI_EVENTLOG=<dir> turns on Spark event logging for offline
+    # task-skew analysis (scripts/task_skew.py)
+    evlog = os.environ.get("MIEKKI_EVENTLOG")
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        b = (b.config("spark.eventLog.enabled", "true")
+              .config("spark.eventLog.dir", evlog))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
