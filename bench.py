@@ -14,7 +14,12 @@ never createDataFrame from the driver.
 
 Env knobs:
   MIEKKI_BENCH_MULT   widen the corpus by K deterministic perturbed
-                      replicas (non-dups across replicas); default 1
+                      replicas (non-dups across replicas); default 16
+                      (192k docs): at the raw 12k-doc sf0.1 corpus the
+                      e2e wall is ~90% fixed overhead (CC rounds, job
+                      scheduling) and measures the floor, not the
+                      pipeline — docs/sec at mult=1 saturates at ~700
+                      regardless of any kernel speedup
   SPARK_GRAFT_CPUS    cores for local[N]; default 32
   MIEKKI_SHUFFLE_PARTITIONS  shuffle partitions; default 64
 """
@@ -79,7 +84,7 @@ def prepare_corpus(sf_dir: str, mult: int, cache_root: str) -> tuple[str, int]:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    mult = int(os.environ.get("MIEKKI_BENCH_MULT", "1"))
+    mult = int(os.environ.get("MIEKKI_BENCH_MULT", "16"))
     repo = os.path.dirname(os.path.abspath(__file__))
     corpus_path, n_docs = prepare_corpus(sf_dir, mult,
                                          os.path.join(repo, ".cache"))
@@ -91,6 +96,11 @@ def main():
     from miekki.stages.signatures import signatures_from_text
 
     cfg = DedupConfig()
+    # the dedup pipeline is Arrow-kernel-heavy: each hot task runs a
+    # JVM thread + a python worker, so reserve 2 cpus per task unless
+    # the caller overrides (local[32] e2e: 125 s at task.cpus=1 vs
+    # 42 s at 2 on this box — see miekki/session.py)
+    os.environ.setdefault("MIEKKI_TASK_CPUS", "2")
     spark = build_spark(master=f"local[{cpus}]", app_name="miekki-bench",
                         extra_conf={"spark.ui.showConsoleProgress": "false"})
     # the cached corpus is one small parquet file (< maxPartitionBytes

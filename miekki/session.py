@@ -43,6 +43,13 @@ def build_spark(
         # other tenants; real clusters set local dirs on fast media
         .config("spark.local.dir",
                 os.environ.get("MIEKKI_LOCAL_DIR", "/dev/shm/miekki_spark"))
+        # Arrow-kernel tasks occupy ~2 CPUs each (JVM task thread +
+        # python worker); MIEKKI_TASK_CPUS=2 reserves that honestly so
+        # the scheduler stops oversubscribing cores — measured on this
+        # box: local[32] e2e 125 s at task.cpus=1 vs 42 s at 2 (the
+        # standard sizing for pUDF-heavy PySpark jobs). Default stays 1
+        # so generic relational queries keep full slot counts.
+        .config("spark.task.cpus", os.environ.get("MIEKKI_TASK_CPUS", "1"))
     )
     # MIEKKI_EVENTLOG=<dir> turns on Spark event logging for offline
     # task-skew analysis (scripts/task_skew.py)

@@ -71,7 +71,7 @@ def main():
                       "efficiency_best": round(eff_best, 3)}))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_PROTOCOL.md"), "w") as f:
         f.write(f"""# BENCH — measured sandbox numbers (M8 scaling protocol)
 
 Protocol (BASELINE.md; driver instruction: evidence the two-cluster-
@@ -115,7 +115,7 @@ transparency.
 
 Reproduce: `python scripts/bench_scaling.py {RUNS} {MULT} {LEVELS[0]}`.
 """)
-    print(f"wrote BENCH/BASELINE.md (efficiency={eff:.3f})")
+    print(f"wrote BENCH/SCALING_PROTOCOL.md (efficiency={eff:.3f})")
 
 
 if __name__ == "__main__":
