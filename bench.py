@@ -97,10 +97,13 @@ def main():
 
     cfg = DedupConfig()
     # the dedup pipeline is Arrow-kernel-heavy: each hot task runs a
-    # JVM thread + a python worker, so reserve 2 cpus per task unless
-    # the caller overrides (local[32] e2e: 125 s at task.cpus=1 vs
-    # 42 s at 2 on this box — see miekki/session.py)
-    os.environ.setdefault("MIEKKI_TASK_CPUS", "2")
+    # JVM thread + a python worker, and this box sustains ~16 such
+    # pairs before co-scheduling inflates per-task walls. Reserve
+    # 2 cpus per task ONLY above 16 threads (measured e2e: local[32]
+    # 125 s at task.cpus=1 vs 42 s at 2; but local[16] 205 s at 1 vs
+    # 309 s at 2 — below the knee the overlap is pure win).
+    if int(cpus) > 16:
+        os.environ.setdefault("MIEKKI_TASK_CPUS", "2")
     spark = build_spark(master=f"local[{cpus}]", app_name="miekki-bench",
                         extra_conf={"spark.ui.showConsoleProgress": "false"})
     # the cached corpus is one small parquet file (< maxPartitionBytes
