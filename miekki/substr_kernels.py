@@ -98,6 +98,90 @@ def doc_anchors(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
     return h[pos].view(np.int64), pos.astype(np.int32)
 
 
+def batch_doc_anchors(data: np.ndarray, offs: np.ndarray, k: int, w: int
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized doc_anchors over a whole Arrow batch: ``data`` is the
+    flat uint8 bytes of all docs, ``offs`` the per-doc byte offsets
+    (len = n_docs + 1). Returns (row_idx int64, fp int64, pos int32)
+    — bit-identical to doc_anchors per doc (pinned by
+    tests/test_substr.py::test_batch_anchor_parity).
+
+    Why the flat computation is EXACT and not an approximation: with
+    S[i] = Σ_{t<i} data[t]·B^t over the concatenated bytes, a doc at
+    offset o gets H_j = (S[o+j+k] − S[o+j])·B^{−(o+j)}
+    = Σ_{t<k} data[o+j+t]·B^t — the same polynomial the per-doc kernel
+    computes; global exponents cancel. Only windows that would cross a
+    doc boundary must be masked out, and winnowing windows are
+    selected per doc so they never straddle one."""
+    n = len(data)
+    n_docs = len(offs) - 1
+    if n < k:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), np.empty(0, dtype=np.int32)
+    h = rolling_hashes(data, k)                  # len n-k+1, global pos
+    row_out, fp_out, pos_out = [], [], []
+    val = h
+    idx = np.arange(len(h), dtype=np.int64)
+    # span-doubling sparse argmin over the FLAT hash array; reads
+    # below only ever cover within-doc ranges, so cross-boundary
+    # table entries are never consulted
+    span = 1
+    while span * 2 <= w:
+        left_v, right_v = val[:-span], val[span:]
+        left_i, right_i = idx[:-span], idx[span:]
+        take_left = left_v <= right_v
+        val = np.where(take_left, left_v, right_v)
+        idx = np.where(take_left, left_i, right_i)
+        span *= 2
+    off_w = w - span
+    # full-window argmin for every global start t (valid when the
+    # window [t, t+w) stays inside one doc's hash range)
+    m = len(h) - w + 1
+    if m > 0:
+        a_v, b_v = val[:m], val[off_w: off_w + m]
+        a_i, b_i = idx[:m], idx[off_w: off_w + m]
+        take_a = a_v <= b_v
+        full_min = np.where(take_a, a_i, b_i)    # (m,) global argmin pos
+    else:
+        full_min = np.empty(0, dtype=np.int64)
+    doc_lens = np.diff(offs)
+    nh = doc_lens - k + 1                        # hashes per doc
+    starts = offs[:-1]
+    # long docs (nh > w): mark their full-window starts valid, then
+    # ONE global unique over the selected argmin positions — positions
+    # are global byte offsets, so docs can't collide and the per-doc
+    # unique of the scalar kernel == the global unique restricted to
+    # the doc's range
+    long_mask = nh > w
+    valid = np.zeros(max(m, 0), dtype=bool)
+    for o, cnt in zip(starts[long_mask], (nh - w + 1)[long_mask]):
+        valid[o: o + cnt] = True                 # cheap slice writes
+    sel = np.unique(full_min[valid[: len(full_min)]]) if m > 0 else \
+        np.empty(0, dtype=np.int64)
+    if len(sel):
+        rows = np.searchsorted(offs, sel, side="right") - 1
+        row_out.append(rows.astype(np.int64))
+        fp_out.append(h[sel].view(np.int64))
+        pos_out.append((sel - starts[rows]).astype(np.int32))
+    # short docs (0 < nh <= w): single leftmost argmin each
+    for i in np.nonzero((nh > 0) & ~long_mask)[0]:
+        o = int(starts[i])
+        p = o + int(np.argmin(h[o: o + int(nh[i])]))
+        row_out.append(np.array([i], dtype=np.int64))
+        fp_out.append(h[p: p + 1].view(np.int64))
+        pos_out.append(np.array([p - o], dtype=np.int32))
+    if not row_out:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), np.empty(0, dtype=np.int32)
+    rows = np.concatenate(row_out)
+    fps = np.concatenate(fp_out)
+    pos = np.concatenate(pos_out)
+    # restore per-doc grouping (short docs were appended after the
+    # global pass); stable sort keeps within-doc position order
+    order = np.argsort(rows, kind="stable")
+    return rows[order], fps[order], pos[order]
+
+
 def common_run_length(a: bytes, b: bytes, pa: int, pb: int, k: int) -> int:
     """Length of the maximal common byte run around anchor pair
     (pa, pb); 0 if the k-byte anchor windows differ (hash collision)."""

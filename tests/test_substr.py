@@ -131,3 +131,30 @@ def test_e2e_recall_with_substr(spark, corpus_df, fixture_corpus):
               ((tp.kind == "contain") & (tp.run_bytes >= CFG.substr_len))]
     hits = sum(lmap[r.src] == lmap[r.dst] for r in gate.itertuples())
     assert hits / len(gate) >= 0.99, f"{hits}/{len(gate)}"
+
+
+def test_batch_anchor_parity():
+    """batch_doc_anchors == doc_anchors per doc, bit-exact — including
+    short docs (n <= w), empty docs, and boundary-adjacent content."""
+    import numpy as np
+
+    from miekki.substr_kernels import batch_doc_anchors, doc_anchors
+
+    k, w = 16, 16
+    texts = [
+        "x" * 10,                                  # shorter than k -> none
+        "the quick brown fox jumps over the lazy dog " * 8,
+        "",                                        # empty
+        "the quick brown fox jumps over the lazy dog " * 8,  # dup of #1
+        "short but over k bytes, single window",   # nh <= w branch
+        "Z" * 200,                                 # degenerate repeats
+        "boundary" * 40,
+    ]
+    data = np.frombuffer("".join(texts).encode("utf-8"), dtype=np.uint8)
+    offs = np.cumsum([0] + [len(t.encode("utf-8")) for t in texts]).astype(np.int64)
+    rows, fps, pos = batch_doc_anchors(data, offs, k, w)
+    for i, t in enumerate(texts):
+        m = rows == i
+        efps, epos = doc_anchors(t, k, w)
+        assert np.array_equal(fps[m], efps), f"doc {i} fps"
+        assert np.array_equal(pos[m], epos), f"doc {i} pos"
