@@ -38,6 +38,23 @@ def _string_rows(arr: pa.Array):
     return arr
 
 
+def _first_last_per_fp(rows: np.ndarray, fps: np.ndarray, pos: np.ndarray):
+    """Per (row, fp) group keep only the min- and max-pos occurrence
+    (numpy twin of `groupBy(doc_id, fp).agg(min(pos), max(pos))` +
+    distinct-explode). A doc's text sits in ONE Arrow row, so this
+    finalizes exactly what the SQL agg computed — minus the 8.8M-row
+    shuffle it used to cost."""
+    order = np.lexsort((pos, fps, rows))
+    r, f, p = rows[order], fps[order], pos[order]
+    head = np.empty(len(r), dtype=bool)
+    head[0] = True
+    head[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
+    first_idx = np.nonzero(head)[0]
+    last_idx = np.append(first_idx[1:], len(r)) - 1
+    keep = np.union1d(first_idx, last_idx)       # min==max collapses
+    return r[keep], f[keep], p[keep]
+
+
 def make_anchor_kernel(cfg: DedupConfig):
     """Anchors for a whole Arrow batch in ONE vectorized pass
     (miekki.substr_kernels.batch_doc_anchors): rolling hashes over the
@@ -45,7 +62,9 @@ def make_anchor_kernel(cfg: DedupConfig):
     cancel per doc) + one flat span-doubling winnowing table + one
     global unique. Replaces the r1 per-doc python loop (and its
     per-doc .as_py() string copies): 1.46x faster at 2k-doc batches,
-    min-of-5 (ROADMAP r2 #4)."""
+    min-of-5 (ROADMAP r2 #4). The first/last-per-(doc,fp) reduction
+    (anchor_table's old groupBy) happens here too — map-side, no
+    shuffle."""
     k, w = cfg.anchor_k, cfg.winnow_w
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -57,6 +76,7 @@ def make_anchor_kernel(cfg: DedupConfig):
             rows, fps, pos = batch_doc_anchors(data, offs, k, w)
             if not len(rows):
                 continue
+            rows, fps, pos = _first_last_per_fp(rows, fps, pos)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(doc_id[rows]), pa.array(fps), pa.array(pos)],
                 names=["doc_id", "fp", "pos"])
@@ -71,14 +91,14 @@ def anchor_table(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
     (boilerplate): the earliest occurrence may sit outside the true
     >=L shared run (ADVICE r1). First+last brackets the doc, so a run
     anywhere keeps at least one in-run anchor unless the same fp
-    repeats 3+ times with the run strictly in the middle."""
-    anchors = docs_norm.select("doc_id", "norm_text").mapInArrow(
+    repeats 3+ times with the run strictly in the middle.
+
+    Map-only (r2): the first/last reduction runs inside the Arrow
+    kernel (a doc never spans batches), so this stage does ZERO
+    shuffles — the old `groupBy(doc_id, fp)` moved the full 8.8M-row
+    anchor table once for nothing."""
+    return docs_norm.select("doc_id", "norm_text").mapInArrow(
         make_anchor_kernel(cfg), ANCHOR_SCHEMA)
-    agg = anchors.groupBy("doc_id", "fp").agg(F.min("pos").alias("p1"),
-                                              F.max("pos").alias("p2"))
-    return agg.select(
-        "doc_id", "fp",
-        F.explode(F.array_distinct(F.array("p1", "p2"))).alias("pos"))
 
 
 def _chain_pairs_with_pos(df: DataFrame, part_cols: list[str]) -> DataFrame:
