@@ -23,7 +23,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, Window, functions as F
 
 from miekki.config import DedupConfig
-from miekki.substr_kernels import batch_doc_anchors, common_run_length
+from miekki.substr_kernels import batch_common_runs, batch_doc_anchors
 
 ANCHOR_SCHEMA = "doc_id long, fp long, pos int"
 VERIFY_SCHEMA = "src long, dst long, run_len int"
@@ -32,10 +32,18 @@ MAX_ANCHORS_PER_PAIR = 4
 CHAIN_SUCCESSORS = 2
 
 
-def _string_rows(arr: pa.Array):
+def _bin_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 bytes, per-row byte offsets rebased to 0) of an
+    Arrow binary array — the binary twin of kernels._utf8_view.
+    Nulls impossible here: clips come from substring() over non-null
+    encoded text."""
     if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
         arr = arr.combine_chunks()
-    return arr
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+    return data, offs - offs[0]
 
 
 def _first_last_per_fp(rows: np.ndarray, fps: np.ndarray, pos: np.ndarray):
@@ -163,13 +171,12 @@ def make_verify_kernel(cfg: DedupConfig):
             dst = batch.column("dst").to_numpy(zero_copy_only=False)
             spos = batch.column("src_pos").to_numpy(zero_copy_only=False)
             dpos = batch.column("dst_pos").to_numpy(zero_copy_only=False)
-            ta = _string_rows(batch.column("t_src"))
-            tb = _string_rows(batch.column("t_dst"))
-            runs = np.empty(len(src), dtype=np.int32)
-            for i in range(len(src)):
-                runs[i] = common_run_length(
-                    ta[i].as_py(), tb[i].as_py(),
-                    int(spos[i]), int(dpos[i]), k)
+            da, oa = _bin_view(batch.column("t_src"))
+            db, ob = _bin_view(batch.column("t_dst"))
+            # one flat-buffer vectorized pass over the whole batch (r3)
+            # — replaces the per-pair .as_py() python loop that made
+            # this the slowest-scaling stage in BENCH_r02
+            runs = batch_common_runs(da, oa, db, ob, spos, dpos, k)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(src), pa.array(dst), pa.array(runs)],
                 names=["src", "dst", "run_len"])

@@ -74,6 +74,41 @@ def test_collision_rejected():
     assert common_run_length(b"abcdefgh", b"abcdxfgh", 0, 0, 8) == 0
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_batch_run_parity(data):
+    """batch_common_runs == common_run_length per pair, bit-exact —
+    including hash-collision rows (differing anchor windows), zero
+    extensions, and full-clip runs."""
+    from miekki.substr_kernels import batch_common_runs
+
+    k = 8
+    n = data.draw(st.integers(min_value=1, max_value=12))
+    pairs = []
+    for _ in range(n):
+        run = data.draw(st.binary(min_size=k, max_size=60))
+        pre_a = data.draw(st.binary(min_size=0, max_size=30))
+        pre_b = data.draw(st.binary(min_size=0, max_size=30))
+        suf_a = data.draw(st.binary(min_size=0, max_size=30))
+        suf_b = data.draw(st.binary(min_size=0, max_size=30))
+        a = pre_a + run + suf_a
+        b = pre_b + run + suf_b
+        # anchor somewhere inside the planted run
+        off = data.draw(st.integers(min_value=0, max_value=len(run) - k))
+        pairs.append((a, b, len(pre_a) + off, len(pre_b) + off))
+    # plus a guaranteed-collision row (anchor windows differ)
+    pairs.append((b"abcdefghXY", b"abcdXfghXY", 0, 0))
+    da = np.frombuffer(b"".join(p[0] for p in pairs), dtype=np.uint8)
+    db = np.frombuffer(b"".join(p[1] for p in pairs), dtype=np.uint8)
+    oa = np.cumsum([0] + [len(p[0]) for p in pairs]).astype(np.int64)
+    ob = np.cumsum([0] + [len(p[1]) for p in pairs]).astype(np.int64)
+    spos = np.array([p[2] for p in pairs], dtype=np.int32)
+    dpos = np.array([p[3] for p in pairs], dtype=np.int32)
+    got = batch_common_runs(da, oa, db, ob, spos, dpos, k, slab_rows=5)
+    want = [common_run_length(a, b, pa_, pb_, k) for a, b, pa_, pb_ in pairs]
+    assert got.tolist() == want
+
+
 @pytest.fixture(scope="module")
 def substr_edges(spark, corpus_df):
     from miekki.stages.normalize import normalize
