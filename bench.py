@@ -104,7 +104,11 @@ def main():
     # 309 s at 2 — below the knee the overlap is pure win).
     if int(cpus) > 16:
         os.environ.setdefault("MIEKKI_TASK_CPUS", "2")
-    spark = build_spark(master=f"local[{cpus}]", app_name="miekki-bench",
+    # MIEKKI_MASTER overrides the master URL — the multi-JVM scaling
+    # protocol passes local-cluster[N,cores,memMB] here (SPARK_GRAFT_CPUS
+    # must then name the TOTAL core count for the task.cpus knee above)
+    master = os.environ.get("MIEKKI_MASTER", f"local[{cpus}]")
+    spark = build_spark(master=master, app_name="miekki-bench",
                         extra_conf={"spark.ui.showConsoleProgress": "false"})
     # the cached corpus is one small parquet file (< maxPartitionBytes
     # = 1 split); real corpora arrive as thousands of splits — emulate

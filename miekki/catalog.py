@@ -36,14 +36,19 @@ class Catalog(ABC):
 
     @abstractmethod
     def overwrite(self, name: str, df: DataFrame, run_id: str,
-                  bucket_by: tuple[int, list[str]] | None = None) -> None:
+                  bucket_by: tuple[int, list[str]] | None = None,
+                  partition_by: list[str] | None = None) -> None:
         """``bucket_by=(n, cols)`` stores the table hash-bucketed (and
         sorted) by ``cols`` so downstream joins/aggregations on those
         keys read back shuffle-free (SURVEY.md §4.5: T2/T4 bucketed by
-        doc_id make the verify joins one-sided)."""
+        doc_id make the verify joins one-sided). ``partition_by``
+        stores it directory-partitioned by the named columns so reads
+        filtered on them prune whole partitions (streaming band state:
+        per-batch reads touch only the buckets the batch hit)."""
 
     @abstractmethod
-    def append(self, name: str, df: DataFrame) -> None: ...
+    def append(self, name: str, df: DataFrame,
+               partition_by: list[str] | None = None) -> None: ...
 
     @abstractmethod
     def exists(self, name: str) -> bool: ...
@@ -98,7 +103,8 @@ class HadoopCatalog(Catalog):
         return self.spark.read.parquet(path)
 
     def overwrite(self, name: str, df: DataFrame, run_id: str,
-                  bucket_by: tuple[int, list[str]] | None = None) -> None:
+                  bucket_by: tuple[int, list[str]] | None = None,
+                  partition_by: list[str] | None = None) -> None:
         d = self._dir(name)
         os.makedirs(d, exist_ok=True)
         data = f"data_{run_id}_{uuid.uuid4().hex[:8]}"
@@ -120,6 +126,9 @@ class HadoopCatalog(Catalog):
                 "schema": [(f.name, f.dataType.simpleString())
                            for f in df.schema.fields],
             }
+        elif partition_by:
+            (df.write.mode("overwrite").partitionBy(*partition_by)
+               .parquet(path))
         else:
             df.write.mode("overwrite").parquet(path)
         old = None
@@ -131,23 +140,45 @@ class HadoopCatalog(Catalog):
             json.dump({"data": data, "run_id": run_id,
                        "snapshot": uuid.uuid4().hex,
                        "bucket": bucket_meta,
+                       "partition": partition_by,
                        "written_at": time.time()}, f)
         os.replace(tmp, self._manifest(name))   # the atomic flip
         if old and old != data and os.path.exists(os.path.join(d, old)):
             shutil.rmtree(os.path.join(d, old), ignore_errors=True)
 
-    def append(self, name: str, df: DataFrame) -> None:
+    def append(self, name: str, df: DataFrame,
+               partition_by: list[str] | None = None) -> None:
+        """Append into the table's CURRENT data directory (r3 fix: the
+        old code always wrote `data_append`, so rows appended after an
+        overwrite landed in a directory the manifest no longer
+        referenced — invisible to readers from the third micro-batch
+        on). The manifest is rewritten with a fresh snapshot id so
+        lineage-based resume sees appends as state changes."""
         d = self._dir(name)
-        first = not self.exists(name)
-        data = "data_append"
-        df.write.mode("append").parquet(os.path.join(d, data))
-        if first:
-            tmp = self._manifest(name) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"data": data, "run_id": "append",
-                           "snapshot": uuid.uuid4().hex,
-                           "written_at": time.time()}, f)
-            os.replace(tmp, self._manifest(name))
+        if not self.exists(name):
+            m = {"data": "data_append", "run_id": "append",
+                 "bucket": None, "partition": partition_by}
+        else:
+            with open(self._manifest(name)) as f:
+                m = json.load(f)
+            if m.get("bucket"):
+                raise NotImplementedError(
+                    "append into a bucketed table would break its bucket"
+                    " file layout; use overwrite(bucket_by=...)")
+            partition_by = partition_by or m.get("partition")
+        path = os.path.join(d, m["data"])
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        tmp = self._manifest(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"data": m["data"], "run_id": m.get("run_id", "append"),
+                       "snapshot": uuid.uuid4().hex,
+                       "bucket": None,
+                       "partition": partition_by,
+                       "written_at": time.time()}, f)
+        os.replace(tmp, self._manifest(name))
 
     def exists(self, name: str) -> bool:
         return os.path.exists(self._manifest(name))
@@ -188,7 +219,8 @@ class IcebergCatalog(Catalog):
         return self.spark.table(self._tbl(name))
 
     def overwrite(self, name: str, df: DataFrame, run_id: str,
-                  bucket_by: tuple[int, list[str]] | None = None) -> None:
+                  bucket_by: tuple[int, list[str]] | None = None,
+                  partition_by: list[str] | None = None) -> None:
         try:  # Spark 4 home of the partition transforms
             from pyspark.sql.functions import partitioning as P
 
@@ -197,6 +229,7 @@ class IcebergCatalog(Catalog):
             from pyspark.sql import functions as F
 
             bucket = F.bucket
+        from pyspark.sql import functions as F
 
         w = (df.writeTo(self._tbl(name))
                .tableProperty("write.run-id", run_id)
@@ -207,11 +240,23 @@ class IcebergCatalog(Catalog):
             # transform — readers get the same co-location from table
             # metadata with no session-catalog registration
             w = w.partitionedBy(*[bucket(n, c) for c in cols])
+        elif partition_by:
+            # identity partitioning; Iceberg metadata prunes partitions
+            # on filtered reads, same contract as the Hadoop impl
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
         w.createOrReplace()
 
-    def append(self, name: str, df: DataFrame) -> None:
+    def append(self, name: str, df: DataFrame,
+               partition_by: list[str] | None = None) -> None:
+        # partition_by only matters at table creation; Iceberg appends
+        # route rows to partitions from table metadata
         if not self.exists(name):
-            df.writeTo(self._tbl(name)).using("iceberg").create()
+            w = df.writeTo(self._tbl(name)).using("iceberg")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.create()
         else:
             df.writeTo(self._tbl(name)).append()
 

@@ -41,7 +41,12 @@ BANDS = T.StructType([
     T.StructField("salt", T.IntegerType(), False),
 ])
 
-# T4 — candidate edges
+# T4 — candidate edges. `weight` semantics per origin: minhash =
+# estimated Jaccard (in [tau, 1]); simhash = 1 - hamming/bits; substr =
+# verified common-run bytes, SATURATING at 2*substr_len + anchor_k
+# (verification ships clipped windows — the >= substr_len accept
+# decision is exact, but run lengths above the cap are reported as
+# the cap; see stages/substr.py docstring / ADVICE r2).
 CANDIDATE_EDGES = T.StructType([
     T.StructField("src", T.LongType(), False),
     T.StructField("dst", T.LongType(), False),

@@ -51,6 +51,23 @@ def build_spark(
         # so generic relational queries keep full slot counts.
         .config("spark.task.cpus", os.environ.get("MIEKKI_TASK_CPUS", "1"))
     )
+    # local-cluster[N,cores,memMB] = N SEPARATE executor JVMs on one
+    # host — the multi-JVM scaling protocol (BASELINE.md): executors
+    # need their own memory cap and the repo on the python-worker path
+    # (their workers don't inherit the driver's sys.path entries).
+    if master.startswith("local-cluster"):
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        b = (b.config("spark.executor.memory",
+                      os.environ.get("MIEKKI_EXECUTOR_MEM", "6g"))
+              .config("spark.executorEnv.PYTHONPATH", repo_root))
+        # standalone workers IGNORE spark.local.dir (the cluster
+        # manager overrides it via SPARK_LOCAL_DIRS) — without this
+        # the executors shuffle to /tmp on the shared tenant disk
+        # while local[N] mode uses tmpfs, corrupting any scaling
+        # comparison between the two
+        os.environ.setdefault(
+            "SPARK_LOCAL_DIRS",
+            os.environ.get("MIEKKI_LOCAL_DIR", "/dev/shm/miekki_spark"))
     # MIEKKI_EVENTLOG=<dir> turns on Spark event logging for offline
     # task-skew analysis (scripts/task_skew.py)
     evlog = os.environ.get("MIEKKI_EVENTLOG")

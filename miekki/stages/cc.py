@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 log = logging.getLogger(__name__)
 
@@ -54,15 +54,22 @@ def small_star(edges: DataFrame) -> DataFrame:
     return out1.unionByName(out2).where("src != dst").distinct()
 
 
-def _edge_stats(edges: DataFrame):
-    """Convergence fingerprint: count alone can collide, so pair it
-    with an order-insensitive xxhash64 bit_xor (SURVEY.md §2.7;
+_STAT_EXPRS = lambda: (F.count(F.lit(1)).alias("n"),  # noqa: E731
+                       F.bit_xor(F.xxhash64("src", "dst")).alias("h"))
+
+
+def _ckpt_with_stats(edges: DataFrame):
+    """localCheckpoint + convergence fingerprint in ONE job (r3,
+    VERDICT r2 next-step #4): an Observation rides the checkpoint's
+    materialization action, so the former per-round stats agg — a
+    full extra job over the edge table, ~half the CC fixed latency —
+    disappears. Fingerprint = (count, order-insensitive xxhash64
+    bit_xor): count alone can collide across rounds (SURVEY.md §2.7;
     bit_xor instead of sum — ANSI mode forbids wrapping long sums)."""
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
-    ).first()
-    return (row["n"], row["h"])
+    obs = Observation()
+    out = edges.observe(obs, *_STAT_EXPRS()).localCheckpoint()
+    m = obs.get
+    return out, (m["n"], m["h"])
 
 
 def cc_fixpoint(edges: DataFrame, max_iter: int = 64) -> DataFrame:
@@ -72,8 +79,8 @@ def cc_fixpoint(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     # twice (groupBy + join back); without this the whole upstream
     # pipeline would re-execute per use (SURVEY.md §4.2)
     global LAST_ROUNDS
-    e = edges.select("src", "dst").where("src != dst").distinct().localCheckpoint()
-    prev = _edge_stats(e)
+    e, prev = _ckpt_with_stats(
+        edges.select("src", "dst").where("src != dst").distinct())
     if prev[0] == 0:
         LAST_ROUNDS = 0
         return e
@@ -90,8 +97,7 @@ def cc_fixpoint(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
     try:
         for i in range(max_iter):
-            e = small_star(large_star(e)).localCheckpoint()
-            cur = _edge_stats(e)
+            e, cur = _ckpt_with_stats(small_star(large_star(e)))
             if cur == prev:
                 LAST_ROUNDS = i + 1
                 log.info("cc_fixpoint converged in %d rounds (%d edges)",

@@ -46,7 +46,8 @@ def main():
     corpus_path, n_docs = prepare_corpus(sf_dir, mult,
                                          os.path.join(REPO, ".cache"))
     cfg = DedupConfig()
-    spark = build_spark(master=f"local[{cpus}]", app_name="miekki-stages",
+    master = os.environ.get("MIEKKI_MASTER", f"local[{cpus}]")
+    spark = build_spark(master=master, app_name="miekki-stages",
                         extra_conf={"spark.ui.showConsoleProgress": "false"})
     n_parts = int(os.environ.get("MIEKKI_BENCH_PARTITIONS", "96"))
     corpus = (spark.read.parquet(corpus_path).repartition(n_parts)
@@ -68,27 +69,40 @@ def main():
         with open("/proc/loadavg") as f:
             return float(f.read().split()[0])
 
-    def timed(name, fn):
+    rep_walls: dict[str, list[float]] = {}
+
+    def _timed(name, fn):
         l0, s0, t0 = _load(), _steal(), time.time()
         out = fn()
-        dt = time.time() - t0
-        walls[name] = round(dt, 2)
+        dt = round(time.time() - t0, 2)
         # steal% = other tenants on the physical host during this stage
         steal_pct = (100 * (_steal() - s0) / os.sysconf("SC_CLK_TCK")
                      / max(dt, 1e-9) / os.cpu_count())
-        print(f"  {name}: {walls[name]}s (load {l0:.1f}->{_load():.1f},"
+        print(f"  {name}: {dt}s (load {l0:.1f}->{_load():.1f},"
               f" steal {steal_pct:.1f}%)", file=sys.stderr, flush=True)
+        return out, dt
+
+    def timed(name, fn):
+        out, dt = _timed(name, fn)
+        walls[name] = dt
         return out
 
-    # MIEKKI_STAGE_REPS > 1 re-times each stage and reports every rep
-    # (first timing wins in the JSON) — tenant noise on this host
-    # swings single timings by 2-3x, min-of-reps is the honest wall
+    # MIEKKI_STAGE_REPS > 1 re-times each stage: the stage's JSON
+    # entry is min-of-reps (tenant noise swings single timings 2-3x;
+    # the minimum is the honest wall), all rep timings are reported
+    # under "stage_reps", and 'total' sums each stage ONCE so it
+    # remains the min-of-reps pipeline wall (ADVICE r2)
     reps = int(os.environ.get("MIEKKI_STAGE_REPS", "1"))
 
     def timed_reps(name, fn):
-        out = timed(name, fn)
-        for _ in range(reps - 1):
-            timed(name + "'", fn)
+        out, dt = _timed(name, fn)
+        times = [dt]
+        for i in range(reps - 1):
+            _, dt2 = _timed(f"{name} (rep {i + 2})", fn)
+            times.append(dt2)
+        walls[name] = min(times)
+        if reps > 1:
+            rep_walls[name] = times
         return out
 
     only = set(filter(None, os.environ.get(
@@ -129,7 +143,7 @@ def main():
 
     spark.stop()
     print(json.dumps({"cpus": int(cpus), "mult": mult, "docs": n_docs,
-                      "stages": walls,
+                      "stages": walls, "stage_reps": rep_walls,
                       "total": round(sum(walls.values()), 2)}))
 
 

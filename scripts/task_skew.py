@@ -19,16 +19,28 @@ import sys
 from collections import defaultdict
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
 def _open_lines(path: str):
     """Event logs may be zstd-compressed (Spark's rolling event-log
-    default); stream through the zstd CLI when so."""
+    default); stream through the zstd CLI when so. The subprocess is
+    waited on and its exit code checked — a truncated/corrupt file
+    raises instead of silently yielding partial output (ADVICE r2)."""
     if path.endswith(".zstd"):
         import subprocess
 
-        p = subprocess.Popen(["zstd", "-d", "-c", path],
-                             stdout=subprocess.PIPE, text=True)
-        return p.stdout
-    return open(path)
+        with subprocess.Popen(["zstd", "-d", "-c", path],
+                              stdout=subprocess.PIPE, text=True) as p:
+            yield p.stdout
+            p.stdout.close()
+            if p.wait() != 0:
+                raise RuntimeError(
+                    f"zstd -d failed on {path} (exit {p.returncode})")
+    else:
+        with open(path) as f:
+            yield f
 
 
 def main(path: str, top: int = 20):

@@ -56,6 +56,68 @@ def test_incremental_matches_batch(spark, corpus_df, split_corpus,
         assert moved <= 0.01 * len(got), (len(only_inc), len(only_bat))
 
 
+def test_three_batches_state_visible_and_compacted(
+        spark, corpus_df, fixture_corpus, tmp_path_factory):
+    """3+ micro-batches (VERDICT r2): (a) state appended in batch k is
+    visible in batch k+2 — regression for the catalog append bug where
+    post-overwrite appends landed in an unreferenced directory, which
+    only a THIRD batch can observe; (b) compaction keeps state row and
+    file counts bounded; (c) final clusters still converge to the
+    one-shot batch pipeline's."""
+    from miekki.pipeline import dedup_labels
+    from miekki.streaming import (STREAM_STATE_PARTS, compact_stream_state,
+                                  incremental_dedup_batch)
+
+    cfg = DedupConfig()
+    root = str(tmp_path_factory.mktemp("stream_cat3"))
+    cat = HadoopCatalog(spark, root)
+    corpus_pdf, _, _ = fixture_corpus
+    cols = ["url", "warc_ts", "text", "lang"]
+    part = corpus_pdf.url.map(hash) % 3
+    final = None
+    for i in range(3):
+        final = incremental_dedup_batch(
+            spark, cat, spark.createDataFrame(corpus_pdf[part == i][cols]),
+            cfg, run_id=f"b{i}")
+        if i == 1:          # mid-stream compaction between appends
+            compact_stream_state(cat)
+
+    # (a) every batch's signatures are readable state
+    n_sigs = cat.read("stream_signatures").select("doc_id").distinct().count()
+    assert n_sigs == len(corpus_pdf)
+
+    # (b) boundedness: post-compaction state is deduped and its file
+    # count is O(partitions), independent of how many batches ran
+    compact_stream_state(cat)
+    assert cat.read("stream_signatures").count() == len(corpus_pdf)
+
+    def parquet_files(name):
+        import json as _json
+        with open(os.path.join(root, name, "_MANIFEST.json")) as f:
+            data = _json.load(f)["data"]
+        return sum(1 for _, _, fs in os.walk(os.path.join(root, name, data))
+                   for fn in fs if fn.endswith(".parquet"))
+
+    assert parquet_files("stream_bands") <= 2 * STREAM_STATE_PARTS
+    bands = cat.read("stream_bands")
+    assert bands.count() == bands.dropDuplicates(["doc_id", "band_id"]).count()
+
+    # (c) convergence to the one-shot batch partitions (minhash-only
+    # state; same comparison/damping as the two-batch test)
+    got = final.toPandas()
+    batch = (dedup_labels(corpus_df, cfg, use_simhash=False,
+                          use_substr=False)
+             .select("doc_id", "cluster_id").toPandas())
+    merged = got.merge(batch, on="doc_id", suffixes=("_inc", "_bat"))
+    assert len(merged) == len(batch)
+    inc_parts = merged.groupby("cluster_id_inc").doc_id.apply(frozenset)
+    bat_parts = merged.groupby("cluster_id_bat").doc_id.apply(frozenset)
+    if set(inc_parts) != set(bat_parts):
+        only_inc = set(inc_parts) - set(bat_parts)
+        moved = sum(len(s) for s in only_inc)
+        assert moved <= 0.01 * len(got), moved
+
+
 def test_real_stream_two_batches(spark, split_corpus, tmp_path_factory):
     from miekki.streaming import run_incremental_stream
 
