@@ -56,6 +56,15 @@ class DedupConfig:
                                  # band bucket (recall-critical runs; §2.4)
     # --- hashing ---
     hash_fn: str = "xxhash64"    # 'xxhash64' (prod) | 'md5' (DuckDB-comparable)
+    # --- doc-id width ---
+    # 64: doc_id = xxhash64(url) as bigint (default; ~2.7e4 birthday
+    #     collisions expected at 10^12 docs — SCALE.md).
+    # 128: doc_id = 16-byte binary, hi = xxhash64(url), lo =
+    #     xxhash64(reverse(url)) — collision odds ~1e-14 at 10^12.
+    #     Binary ids order/join/window/min correctly in Spark and pass
+    #     through every Arrow kernel as opaque bytes, so the whole
+    #     pipeline is id-width-agnostic (tests/test_id128.py).
+    id_bits: int = 64
 
     def config_hash(self) -> str:
         """sha256 of the sorted-JSON config; written to lineage (T7)."""
@@ -72,6 +81,8 @@ class DedupConfig:
         # bound must not exceed the dup threshold L
         if self.winnow_w + self.anchor_k - 1 > self.substr_len:
             raise ValueError("winnow_w + anchor_k - 1 must be <= substr_len")
+        if self.id_bits not in (64, 128):
+            raise ValueError("id_bits must be 64 or 128")
 
 
 DEFAULT = DedupConfig()

@@ -276,7 +276,7 @@ def q_determinism(spark, sf_dir):
         "n_only_first bigint, n_only_second bigint")
 
 
-def q_simhash_sorted(spark, sf_dir):
+def q_simhash_sorted_pairs(spark, sf_dir):
     """Manku'07 sorted-fingerprint sweep (SURVEY.md §2.5 optional
     variant, off the default path): for each of 4 16-bit rotations,
     order by the rotated fingerprint and compare each doc with its
@@ -328,14 +328,19 @@ def q_simhash_sorted(spark, sf_dir):
     cand = within.select("doc_id", "simhash", "dst", "fp_dst") \
         .unionByName(boundary)
     ham = F.bit_count(F.expr("simhash ^ fp_dst"))
-    pairs = (cand.where(ham <= CFG.hamming_max)
-             .select(F.least("doc_id", "dst").alias("src"),
-                     F.greatest("doc_id", "dst").alias("dst"))
-             .dropDuplicates(["src", "dst"]).localCheckpoint())
-    # contract shape (r3): the candidate-set identity vs a global sort
-    # is pytest-pinned (test_simhash_pass); the driver checks the
-    # operator's guarantees — emitted pairs really are Hamming-close,
-    # oriented, distinct, and the planted families produce pairs
+    return (cand.where(ham <= CFG.hamming_max)
+            .select(F.least("doc_id", "dst").alias("src"),
+                    F.greatest("doc_id", "dst").alias("dst"))
+            .dropDuplicates(["src", "dst"]))
+
+
+def q_simhash_sorted(spark, sf_dir):
+    """Driver-key contract over q_simhash_sorted_pairs (r3): the
+    candidate-set identity vs a global sort is pytest-pinned
+    (test_simhash_pass); the driver checks the operator's guarantees —
+    emitted pairs really are Hamming-close, oriented, distinct, and
+    the planted families produce pairs."""
+    pairs = q_simhash_sorted_pairs(spark, sf_dir).localCheckpoint()
     fp = q_simhash_sig(spark, sf_dir)
     j = (pairs
          .join(fp.withColumnsRenamed({"doc_id": "src", "simhash": "fa"}),
@@ -578,40 +583,49 @@ def q_ann_brute(spark, sf_dir):
     return brute_force_topk(vecs, queries, k=5)
 
 
-def _ann_recall_contract(spark, sf_dir, approx_topk: DataFrame,
-                         floor: float) -> DataFrame:
-    """recall@5 of an approximate ANN result vs the brute-force oracle
-    (contract pattern, r3): the approximate hash values aren't
-    SQL-portable, the recall floor is."""
+def _ann_contract(spark, sf_dir, topk_fn, uniform_floor: float) -> DataFrame:
+    """Two-part ANN contract (r3). (a) recall@5 vs brute force on the
+    RAW testdata — near-uniform on the sphere, the hardest case: the
+    floor is 'well above the bucket-scan fraction' (the same bound the
+    pytest suite pins), showing the hashing correlates with cosine.
+    (b) planted-twin recall on corpus ∪ planted near-dups (cosine
+    ~0.9998): >= 90% of queries must retrieve their twin in the top-5
+    — the clustered-data regime real embeddings live in."""
+    from miekki.embeddings import plant_near_dups
+
+    vecs = _emb(spark, sf_dir).localCheckpoint()
+    queries = vecs.where(F.col("vec_id") < 20)
     brute = q_ann_brute(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = approx_topk.select("query_id", "neighbor_id") \
-        .join(brute, ["query_id", "neighbor_id"]).count()
+    hits = (topk_fn(vecs, queries, k=5).select("query_id", "neighbor_id")
+            .join(brute, ["query_id", "neighbor_id"]).count())
     total = brute.count()
+
+    planted = plant_near_dups(_emb(spark, sf_dir), n=50).localCheckpoint()
+    pq = planted.where(F.col("vec_id") < 50)
+    twin_hits = (topk_fn(planted, pq, k=5)
+                 .where(F.col("neighbor_id") - F.col("query_id") == 10**6)
+                 .select("query_id").distinct().count())
     return spark.createDataFrame(
-        [(total > 0 and hits / max(total, 1) >= floor, total > 0)],
-        "recall_ok boolean, nonempty boolean")
+        [(total > 0 and hits / max(total, 1) >= uniform_floor,
+          twin_hits >= 45, total > 0)],
+        "recall_ok boolean, twin_recall_ok boolean, nonempty boolean")
 
 
 def q_ann_lsh(spark, sf_dir):
-    """X8 — sign-LSH ANN contract: recall@5 vs brute force >= 0.8
-    (the pytest suite pins the same bound; multiprobe geometry in
-    miekki/embeddings.py)."""
+    """X8 — sign-LSH ANN contract (multiprobe geometry in
+    miekki/embeddings.py; 8 planes + 2-bit probes scan ~14% of
+    buckets — uniform floor 0.25 matches the pytest bound)."""
     from miekki.embeddings import lsh_topk
 
-    vecs = _emb(spark, sf_dir).localCheckpoint()
-    queries = vecs.where(F.col("vec_id") < 20)
-    return _ann_recall_contract(spark, sf_dir,
-                                lsh_topk(vecs, queries, k=5), 0.8)
+    return _ann_contract(spark, sf_dir, lsh_topk, 0.25)
 
 
 def q_ann_ivf(spark, sf_dir):
-    """X8b — IVF ANN contract: recall@5 vs brute force >= 0.9."""
+    """X8b — IVF ANN contract (8/32 cells probed ~ 25% scan —
+    uniform floor 0.4 matches the pytest bound)."""
     from miekki.embeddings import ivf_topk
 
-    vecs = _emb(spark, sf_dir).localCheckpoint()
-    queries = vecs.where(F.col("vec_id") < 20)
-    return _ann_recall_contract(spark, sf_dir,
-                                ivf_topk(vecs, queries, k=5), 0.9)
+    return _ann_contract(spark, sf_dir, ivf_topk, 0.4)
 
 
 def q_embedding_dedup(spark, sf_dir):
@@ -1024,8 +1038,10 @@ ORACLE_SQL: dict[str, str] = {
                        " true AS merged_some"),
     "recall": ("SELECT true AS recall_ok, true AS precision_ok,"
                " true AS pairs_nonempty"),
-    "ann_lsh": "SELECT true AS recall_ok, true AS nonempty",
-    "ann_ivf": "SELECT true AS recall_ok, true AS nonempty",
+    "ann_lsh": ("SELECT true AS recall_ok, true AS twin_recall_ok,"
+                " true AS nonempty"),
+    "ann_ivf": ("SELECT true AS recall_ok, true AS twin_recall_ok,"
+                " true AS nonempty"),
     "embedding_dedup": ("SELECT true AS cosine_ge_threshold,"
                         " true AS src_lt_dst, true AS planted_recovered"),
     # per-ROW contracts: DuckDB recomputes the row set + pinned parts

@@ -28,6 +28,25 @@ def hash_multi_sql(args_sql: list[str], cfg: DedupConfig) -> str:
             " as bigint)")
 
 
+def doc_id_sql(url_sql: str, cfg: DedupConfig) -> str:
+    """doc-id expression (O4). 64-bit: hash1_sql (bigint). 128-bit:
+    hi||lo packed into BINARY(16) via hex/unhex — hi is exactly the
+    64-bit id (lpad: hex() drops leading zeros on bigint), so the two
+    modes agree on identity up to the collision rescue."""
+    if cfg.id_bits == 64:
+        return hash1_sql(url_sql, cfg)
+    hi = hash1_sql(url_sql, cfg)
+    lo = hash1_sql(f"reverse({url_sql})", cfg)
+    return (f"unhex(concat(lpad(hex({hi}), 16, '0'),"
+            f" lpad(hex({lo}), 16, '0')))")
+
+
+def id_spark_type(cfg: DedupConfig) -> str:
+    """DDL type of doc_id-valued columns (Arrow kernel schemas are
+    built with this so binary ids pass through untouched)."""
+    return "long" if cfg.id_bits == 64 else "binary"
+
+
 def md5_hash1_py(value) -> int:
     """Python twin of hash1_sql in md5 mode (oracle use)."""
     import hashlib

@@ -20,6 +20,18 @@ from miekki.textproc import extract_text
 
 SIG_SCHEMA = "doc_id long, minhash array<bigint>, simhash bigint"
 
+
+def sig_schema(id_type: str = "long") -> str:
+    """SIG_SCHEMA with a configurable doc_id type (binary for the
+    128-bit id option — the kernel passes the id column through
+    untouched, so only the declared type changes)."""
+    return f"doc_id {id_type}, minhash array<bigint>, simhash bigint"
+
+
+def fused_schema(id_type: str = "long") -> str:
+    return (f"doc_id {id_type}, minhash array<bigint>, simhash bigint,"
+            " n_shingles int")
+
 # memory + CACHE governor for the hot kernels. The minhash loop makes
 # n_perm=128 full passes over the value chunk (multiply + reduceat),
 # so the chunk must fit in per-core L2 (2 MiB here) or every pass

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from miekki.config import DedupConfig
-from miekki.exprs import hash1_sql
+from miekki.exprs import doc_id_sql, hash1_sql
 
 # actual control characters, passed through the DataFrame API so no
 # SQL-literal escaping ambiguity exists (pinned vs oracle normalize_ws)
@@ -53,9 +53,10 @@ def assert_nfc_sample(corpus: DataFrame, max_rows: int = 512,
 
 
 def normalize(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """T0 corpus → T1 docs_norm (doc_id, url, lang, norm_text)."""
+    """T0 corpus → T1 docs_norm (doc_id, url, lang, norm_text);
+    doc_id is bigint (id_bits=64) or binary(16) (id_bits=128)."""
     return corpus.select(
-        F.expr(hash1_sql("url", cfg)).alias("doc_id"),
+        F.expr(doc_id_sql("url", cfg)).alias("doc_id"),
         "url",
         "lang",
         norm_text_col("text").alias("norm_text"),

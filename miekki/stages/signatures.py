@@ -11,7 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from miekki.config import DedupConfig
-from miekki.kernels import (FUSED_SCHEMA, SIG_SCHEMA,
+from miekki.exprs import id_spark_type
+from miekki.kernels import (fused_schema, sig_schema,
                             make_signature_kernel,
                             make_text_signature_kernel)
 
@@ -26,7 +27,7 @@ def compute_signatures(docs_with_shingles: DataFrame, cfg: DedupConfig) -> DataF
     sketch); the production pipeline uses ``signatures_from_text``
     (fused kernel, same bits, ~no interpreted-HOF cost)."""
     return docs_with_shingles.select("doc_id", "shingles").mapInArrow(
-        make_signature_kernel(cfg), SIG_SCHEMA
+        make_signature_kernel(cfg), sig_schema(id_spark_type(cfg))
     )
 
 
@@ -39,5 +40,5 @@ def signatures_from_text(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
     transform(sequence(...)) projection AND the shingle-array Arrow
     transfer (the r1 bench's largest cost)."""
     return docs_norm.select("doc_id", "norm_text").mapInArrow(
-        make_text_signature_kernel(cfg), FUSED_SCHEMA
+        make_text_signature_kernel(cfg), fused_schema(id_spark_type(cfg))
     )

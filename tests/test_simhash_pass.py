@@ -82,11 +82,12 @@ def test_simhash_sorted_matches_global_sort(spark):
     """The range-bucketed + boundary-join rewrite of the Manku sorted
     sweep must produce EXACTLY the global-sort candidate pairs."""
     from pyspark.sql import Window
-    from miekki.driver_queries import CFG as DCFG, q_minhash_sig, q_simhash_sorted
+    from miekki.driver_queries import (CFG as DCFG, q_minhash_sig,
+                                       q_simhash_sorted_pairs)
 
     sf = "/root/testdata/sf0.001"
     got = {(r.src, r.dst)
-           for r in q_simhash_sorted(spark, sf).collect()}
+           for r in q_simhash_sorted_pairs(spark, sf).collect()}
 
     sigs = q_minhash_sig(spark, sf).select("doc_id", "simhash")
     ref = set()
