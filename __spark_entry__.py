@@ -22,10 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full near-dup clustering of the sf0.001 fixture
-    corpus → labels (doc_id, cluster_id, url, warc_ts, is_canonical)."""
-    from miekki.driver_queries import q_dedup_pipeline
+    corpus → labels (doc_id, cluster_id, url, warc_ts, is_canonical).
+    (The `dedup_pipeline` driver KEY is a contract aggregate since r3;
+    the flagship keeps returning the real label table.)"""
+    from miekki.config import DedupConfig
+    from miekki.driver_queries import _fixture_corpus_df
+    from miekki.pipeline import dedup_labels
 
-    return q_dedup_pipeline(spark, "/root/testdata/sf0.001")
+    corpus = _fixture_corpus_df(spark, "/root/testdata/sf0.001")
+    return dedup_labels(corpus, DedupConfig())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
