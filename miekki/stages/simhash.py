@@ -50,29 +50,38 @@ def _chain_pairs(df: DataFrame, part_cols: list[str], c: int) -> DataFrame:
     pairs pass verification (the common case — hot buckets hold
     near-identical items) the verified component is a star and CC
     converges in ~2 rounds instead of O(log chain-length); chain pairs
-    remain for the cases where the min fails pairwise verification."""
+    remain for the cases where the min fails pairwise verification.
+
+    Returns (pairs, mins): mins = each group's minimum row WITH its
+    partition columns, extracted from the SAME windowed branch (r3,
+    same rewrite as substr: a separate groupBy shuffled the full
+    block table a second time; ReusedExchange now serves all
+    consumers from one shuffle write)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*part_cols).orderBy("doc_id")
     succ = F.array(*[F.lead("doc_id", i).over(w)
                      for i in range(1, c + 1)])
-    lv = df.select(F.col("doc_id").alias("src"), succ.alias("succ"),
+    lv = df.select(*part_cols,
+                   F.col("doc_id").alias("src"), succ.alias("succ"),
                    F.first("doc_id").over(w).alias("m"))
     chain = (lv.select("src", F.explode("succ").alias("dst"))
              .where(F.col("dst").isNotNull()))
     star = (lv.where(F.col("src") != F.col("m"))
             .select(F.col("m").alias("src"), F.col("src").alias("dst")))
-    return chain.unionByName(star.select("src", "dst"))
+    mins = lv.where(F.col("src") == F.col("m")) \
+        .select(*part_cols, F.col("src").alias("doc_id"))
+    return chain.unionByName(star.select("src", "dst")), mins
 
 
 def simhash_candidate_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """T2 → verified simhash edges (src < dst, origin='simhash',
     weight = 1 - hamming/bits)."""
     b = _block_table(signatures, cfg)
-    lvl1 = _chain_pairs(b, ["block_id", "block_val", "salt"], cfg.simhash_chain)
-    salt_mins = (b.groupBy("block_id", "block_val", "salt")
-                  .agg(F.min("doc_id").alias("doc_id")))
-    lvl2 = _chain_pairs(salt_mins, ["block_id", "block_val"], cfg.simhash_chain)
+    lvl1, salt_mins = _chain_pairs(b, ["block_id", "block_val", "salt"],
+                                   cfg.simhash_chain)
+    lvl2, _ = _chain_pairs(salt_mins.drop("salt"),
+                           ["block_id", "block_val"], cfg.simhash_chain)
     cand = lvl1.unionByName(lvl2).dropDuplicates(["src", "dst"])
 
     fp = signatures.select("doc_id", "simhash")

@@ -115,9 +115,12 @@ def anchor_table(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
         make_anchor_kernel(cfg), _anchor_schema(id_spark_type(cfg)))
 
 
-def _chain_pairs_with_pos(df: DataFrame, part_cols: list[str]) -> DataFrame:
+def _chain_pairs_with_pos(df: DataFrame, part_cols: list[str]
+                          ) -> tuple[DataFrame, DataFrame]:
     """Within each fp bucket, pair each (doc,pos) with its <= C
     successors in (doc_id, pos) order — linear, position-carrying.
+    Returns (pairs, mins) where mins = the group-minimum (doc, pos)
+    rows WITH their partition columns.
 
     lead()/first() over a sorted window instead of
     sort_array(collect_list(struct)) (r2): the collect_list built 8.8M
@@ -126,13 +129,21 @@ def _chain_pairs_with_pos(df: DataFrame, part_cols: list[str]) -> DataFrame:
     (one salt-bounded GROUP buffered at a time) after one shuffle +
     per-partition sort. Star pairs to the bucket minimum ride the same
     window (first() = ds[0]): verified stars collapse CC to ~2 rounds
-    (chains alone are path graphs -> O(log n) rounds)."""
+    (chains alone are path graphs -> O(log n) rounds).
+
+    r3: mins come from the SAME windowed branch (rows that ARE their
+    group's first) instead of a separate groupBy — the old two-branch
+    plan shuffled the full anchor table TWICE (window exchange +
+    groupBy exchange); now ReusedExchange serves all three consumers
+    from one shuffle write (no persist: the windowed table is
+    O(anchors) and must never be pinned at corpus scale)."""
     w = Window.partitionBy(*part_cols).orderBy("doc_id", "pos")
     succ = F.array(*[
         F.struct(F.lead("doc_id", i).over(w).alias("dst"),
                  F.lead("pos", i).over(w).alias("dst_pos"))
         for i in range(1, CHAIN_SUCCESSORS + 1)])
     lv = df.select(
+        *part_cols,
         F.col("doc_id").alias("src"), F.col("pos").alias("src_pos"),
         succ.alias("succ"),
         F.first("doc_id").over(w).alias("m_doc"),
@@ -140,11 +151,15 @@ def _chain_pairs_with_pos(df: DataFrame, part_cols: list[str]) -> DataFrame:
     chain = (lv.select("src", "src_pos", F.explode("succ").alias("p"))
              .where(F.col("p.dst").isNotNull())
              .select("src", "src_pos", "p.dst", "p.dst_pos"))
-    star = (lv.where((F.col("src") != F.col("m_doc"))
-                     | (F.col("src_pos") != F.col("m_pos")))
+    is_min = (F.col("src") == F.col("m_doc")) & \
+             (F.col("src_pos") == F.col("m_pos"))
+    star = (lv.where(~is_min)
             .select(F.col("m_doc").alias("src"), F.col("m_pos").alias("src_pos"),
                     F.col("src").alias("dst"), F.col("src_pos").alias("dst_pos")))
-    return chain.unionByName(star)
+    mins = lv.where(is_min).select(
+        *part_cols, F.col("src").alias("doc_id"),
+        F.col("src_pos").alias("pos"))
+    return chain.unionByName(star), mins
 
 
 def candidate_anchor_pairs(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -152,11 +167,8 @@ def candidate_anchor_pairs(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
     <= MAX_ANCHORS_PER_PAIR rows per pair."""
     salted = anchors.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets)).cast("int"))
-    lvl1 = _chain_pairs_with_pos(salted, ["fp", "salt"])
-    mins = (salted.groupBy("fp", "salt")
-            .agg(F.min(F.struct("doc_id", "pos")).alias("m"))
-            .select("fp", F.col("m.doc_id").alias("doc_id"), F.col("m.pos").alias("pos")))
-    lvl2 = _chain_pairs_with_pos(mins, ["fp"])
+    lvl1, mins = _chain_pairs_with_pos(salted, ["fp", "salt"])
+    lvl2, _ = _chain_pairs_with_pos(mins.drop("salt"), ["fp"])
     pairs = lvl1.unionByName(lvl2).where(F.col("src") != F.col("dst"))
     # cap ranked by a deterministic hash, NOT by earliest position:
     # earliest-first lets a repeated prefix crowd out run-interior
