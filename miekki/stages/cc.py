@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 
 log = logging.getLogger(__name__)
 
@@ -52,6 +52,39 @@ def small_star(edges: DataFrame) -> DataFrame:
     out1 = j.select(F.col("v").alias("src"), F.col("mn").alias("dst"))
     out2 = mins.select(F.col("u").alias("src"), F.col("mn").alias("dst"))
     return out1.unionByName(out2).where("src != dst").distinct()
+
+
+def fused_star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round in THREE exchanges (r4,
+    VERDICT r3 next-step #5; the groupBy+join formulation above costs
+    ~8 shuffle stages per round and CC latency is pure round-trip
+    count). Each star's per-node minimum comes from ONE window pass:
+    over Window.partitionBy(node).orderBy(nbr), first(nbr) IS the
+    neighborhood minimum, and row_number marks one row per node for
+    small-star's (u, mn) emission — so large-star is a single
+    Exchange+Sort, small-star a second (its key is the other endpoint,
+    so a shuffle between them is unavoidable — the stars group by
+    different nodes), and the round-end distinct the third. Emits the
+    exact same edge SET as small_star(large_star(e)) for max-first
+    distinct input (parity pinned in tests/test_cc.py); intermediate
+    duplicate (v, m) rows across groups are tolerated — they cannot
+    change a min — and collapse in the final distinct. Window memory
+    is one node's neighborhood, same bound as the groupBy it replaces;
+    hot nodes shrink to O(1) rows after their first round (every
+    neighbor re-points to the min), so no salting is needed here."""
+    sym = _symmetrize(edges)
+    wl = Window.partitionBy("u").orderBy("v")
+    large = (sym.withColumn("m", F.least(F.first("v").over(wl), F.col("u")))
+             .where(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    ws = Window.partitionBy("u").orderBy("v")
+    s = (large.withColumn("mn", F.first("v").over(ws))
+         .withColumn("rn", F.row_number().over(ws)))
+    out1 = (s.where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("src"), F.col("mn").alias("dst")))
+    out2 = (s.where(F.col("rn") == 1)
+            .select(F.col("u").alias("src"), F.col("mn").alias("dst")))
+    return out1.unionByName(out2).distinct()
 
 
 _STAT_EXPRS = lambda: (F.count(F.lit(1)).alias("n"),  # noqa: E731
@@ -97,7 +130,7 @@ def cc_fixpoint(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
     try:
         for i in range(max_iter):
-            e, cur = _ckpt_with_stats(small_star(large_star(e)))
+            e, cur = _ckpt_with_stats(fused_star_round(e))
             if cur == prev:
                 LAST_ROUNDS = i + 1
                 log.info("cc_fixpoint converged in %d rounds (%d edges)",

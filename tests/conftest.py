@@ -11,14 +11,28 @@ SF_DIR = os.environ.get("MIEKKI_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from miekki.session import build_spark
 
+    # event log on tmpfs: the streaming flat-shuffle test reads
+    # per-stage shuffle metrics from it (spark.ui stays off; the log
+    # is a few MB of JSON for the whole suite)
+    evlog = tempfile.mkdtemp(prefix="miekki_evlog_", dir="/dev/shm")
     s = build_spark(
         master="local[8]",
         app_name="miekki-tests",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={"spark.ui.showConsoleProgress": "false",
+                    "spark.eventLog.enabled": "true",
+                    # single uncompressed file so the shuffle meter can
+                    # tail it by byte offset (Spark 4 defaults to a
+                    # rolling zstd v2 layout)
+                    "spark.eventLog.rolling.enabled": "false",
+                    "spark.eventLog.compress": "false",
+                    "spark.eventLog.dir": evlog},
     )
+    s._miekki_evlog_dir = evlog
     yield s
     s.stop()
 

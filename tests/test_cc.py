@@ -49,3 +49,26 @@ def test_cc_random_graphs(spark):
         dst = rng.choice(ids, size=n_edges)
         edges = [(int(a), int(b)) for a, b in zip(src, dst)]
         assert spark_cc(spark, edges, ids.tolist()) == oracle_cc(edges, ids.tolist())
+
+
+def test_fused_round_matches_two_star_composition(spark):
+    """fused_star_round (the r4 3-exchange window round used by
+    cc_fixpoint) must emit exactly the edge SET of
+    small_star(large_star(e)) — on named cases AND random graphs,
+    including negative/boundary ids where binary-comparison bugs in
+    the window min would show up."""
+    from miekki.stages.cc import fused_star_round, large_star, small_star
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    graphs = list(CASES.values())
+    for n_nodes, n_edges in [(60, 80), (150, 120)]:
+        ids = np.unique(rng.integers(-(2**62), 2**62, size=n_nodes))
+        graphs.append([(int(a), int(b)) for a, b in zip(
+            rng.choice(ids, size=n_edges), rng.choice(ids, size=n_edges))])
+    for edges in graphs:
+        e = (spark.createDataFrame(edges, "src long, dst long")
+             .where("src != dst").distinct())
+        want = {(r.src, r.dst)
+                for r in small_star(large_star(e)).collect()}
+        got = {(r.src, r.dst) for r in fused_star_round(e).collect()}
+        assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
