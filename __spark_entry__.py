@@ -41,9 +41,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible key; rows-only keys
-    (MinHash/SimHash/LSH internals — pinned instead by the pure-Python
-    oracle in tests/) are intentionally absent."""
+    """DuckDB twins for EVERY key (r4): value-level twins where the
+    semantics are SQL-expressible, pinned contract booleans where they
+    are not (MinHash/SimHash arrays stay bit-exact via the pure-Python
+    oracle goldens in tests/)."""
     from miekki.driver_queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -173,8 +173,10 @@ class HadoopCatalog(Catalog):
         w.parquet(path)
         tmp = self._manifest(name) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"data": m["data"], "run_id": m.get("run_id", "append"),
-                       "snapshot": uuid.uuid4().hex,
+            # spread the existing manifest so fields this writer does
+            # not know about survive the append (ADVICE r3); bucket is
+            # always None here — the bucketed path raises above
+            json.dump({**m, "snapshot": uuid.uuid4().hex,
                        "bucket": None,
                        "partition": partition_by,
                        "written_at": time.time()}, f)

@@ -384,22 +384,40 @@ def q_minhash_sig(spark, sf_dir):
     return signatures_from_text(normalize(corpus, CFG), CFG)
 
 
-def q_minhash_scalar(spark, sf_dir):
-    """Driver-safe projection of T2: the driver's canonicalizer sorts
-    the result frame and cannot hash array columns (r1 `err` row), so
-    the 128-long signature is digested to scalars — first element,
-    xxhash64 of the whole array, length. The array itself is pinned
+def q_minhash_contract(spark, sf_dir):
+    """O6 as a contract key (r4, VERDICT r3 next-step #4 — the r3 key
+    returned per-row array digests the driver could not oracle, so it
+    sat rows-only): DuckDB pins the defining booleans — one signature
+    per doc, unique ids, every signature exactly n_perm longs, and
+    non-degenerate digests. The arrays themselves stay pinned
     bit-for-bit by tests/test_golden_sigs.py."""
-    return q_minhash_sig(spark, sf_dir).select(
-        "doc_id",
-        F.expr("minhash[0]").alias("mh_first"),
-        F.xxhash64(F.col("minhash").cast("string")).alias("mh_digest"),
-        F.size("minhash").alias("n_perm"),
-        "simhash")
+    corpus_pdf, _, _ = _fixture(sf_dir)
+    n = len(corpus_pdf)
+    return q_minhash_sig(spark, sf_dir).agg(
+        (F.count(F.lit(1)) == n).alias("one_sig_per_doc"),
+        (F.countDistinct("doc_id") == n).alias("doc_ids_unique"),
+        ((F.min(F.size("minhash")) == CFG.n_perm)
+         & (F.max(F.size("minhash")) == CFG.n_perm)).alias("len_is_n_perm"),
+        (F.countDistinct(F.xxhash64(F.col("minhash").cast("string"))) > 1)
+        .alias("digests_vary"))
 
 
 def q_simhash_sig(spark, sf_dir):
     return q_minhash_sig(spark, sf_dir).select("doc_id", "simhash")
+
+
+def q_simhash_contract(spark, sf_dir):
+    """O7 contract twin of q_minhash_contract: one int64 fingerprint
+    per doc, varied, with sane average bit density (a stuck-at-0/-1
+    vote fold — the r2 16x bug class — would push the mean popcount to
+    an extreme). Bit-exact values stay pytest-pinned."""
+    corpus_pdf, _, _ = _fixture(sf_dir)
+    n = len(corpus_pdf)
+    return q_simhash_sig(spark, sf_dir).agg(
+        (F.count(F.lit(1)) == n).alias("one_fp_per_doc"),
+        (F.countDistinct("simhash") > 1).alias("fingerprints_vary"),
+        F.avg(F.bit_count("simhash")).between(8.0, 56.0)
+        .alias("popcount_sane"))
 
 
 def q_bands(spark, sf_dir):
@@ -495,10 +513,13 @@ def q_dedup_pipeline(spark, sf_dir):
 
 
 def q_recall(spark, sf_dir):
-    """O24 — recall/precision contract vs planted truth (r3; the
+    """O24 — recall/precision contract vs planted truth (r3/r4; the
     BASELINE.json binding metric as a driver-checked boolean): pair
-    recall over gated truth pairs (J >= 0.72) must clear 0.99 and
-    precision over sampled negatives must clear 0.95."""
+    recall over gated truth pairs (J >= 0.72) must clear 0.99;
+    precision_ok is ACTUAL precision — the genuine-dup fraction among
+    truth pairs the pipeline put in one cluster — and specificity_ok
+    the non-merge rate over sampled negative pairs (ADVICE r3: the r3
+    key labeled the latter 'precision')."""
     from miekki.pipeline import dedup_labels
 
     corpus_pdf, truth_pairs, _ = _fixture(sf_dir)
@@ -515,10 +536,56 @@ def q_recall(spark, sf_dir):
     gated = F.when((F.col("kind") != "negative")
                    & (F.col("jaccard") >= 0.72), F.col("same"))
     neg = F.when(F.col("kind") == "negative", 1.0 - F.col("same"))
+    dup = (F.col("kind") != "negative").cast("double")
     return j.agg(
         (F.avg(gated) >= 0.99).alias("recall_ok"),
-        (F.avg(neg) >= 0.95).alias("precision_ok"),
+        ((F.sum(F.col("same") * dup) / F.sum("same")) >= 0.95)
+        .alias("precision_ok"),
+        (F.avg(neg) >= 0.95).alias("specificity_ok"),
         (F.count(gated) > 0).alias("pairs_nonempty"))
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """X14 as a driver contract key (r4 — the one SURVEY.md §2 row
+    that was tests-only in the r3 verdict table): split the fixture
+    corpus into two crawl batches by url crc32, feed them through
+    incremental_dedup_batch into a fresh catalog, and compare the
+    merged labels against the one-shot batch pipeline (minhash-only,
+    matching the streamed state). Exact partition equality in SQL:
+    the (inc_cluster, batch_cluster) mapping is a bijection iff
+    nd(pair) == nd(inc) == nd(batch); est-J threshold pairs can land
+    in one candidate set but not the other across arrivals, so the
+    contract allows <= 1% drift on the bijection counts (the same
+    damping tests/test_streaming.py uses)."""
+    import tempfile
+    import zlib
+
+    from miekki.catalog import HadoopCatalog
+    from miekki.pipeline import dedup_labels
+    from miekki.streaming import incremental_dedup_batch
+
+    corpus_pdf, _, _ = _fixture(sf_dir)
+    cols = ["url", "warc_ts", "text", "lang"]
+    crc = corpus_pdf.url.map(lambda u: zlib.crc32(u.encode()) % 2)
+    cat = HadoopCatalog(spark, tempfile.mkdtemp(prefix="mk_drv_stream_"))
+    labels = None
+    for i in (0, 1):
+        labels = incremental_dedup_batch(
+            spark, cat, spark.createDataFrame(corpus_pdf[crc == i][cols]),
+            CFG, run_id=f"drv{i}")
+    bat = (dedup_labels(_fixture_corpus_df(spark, sf_dir), CFG,
+                        use_simhash=False, use_substr=False)
+           .select("doc_id", F.col("cluster_id").alias("cb")))
+    j = labels.select("doc_id", F.col("cluster_id").alias("ci")) \
+        .join(bat, "doc_id")
+    slack = max(1, len(corpus_pdf) // 100)
+    return j.agg(
+        (F.count(F.lit(1)) == len(corpus_pdf)).alias("all_docs_labeled"),
+        ((F.countDistinct("ci", "cb") - F.countDistinct("ci")) <= slack)
+        .alias("inc_to_batch_functional"),
+        ((F.countDistinct("ci", "cb") - F.countDistinct("cb")) <= slack)
+        .alias("batch_to_inc_functional"),
+        (F.countDistinct("ci") > 1).alias("nontrivial"))
 
 
 # --------------------------------------------------------------------
@@ -825,14 +892,15 @@ QUERIES: dict[str, Callable] = {
     "simhash_sorted": q_simhash_sorted,
     "metrics_rollup": q_metrics_rollup,
     "extract_invariant": q_extract_invariant,
-    "minhash_sig": q_minhash_scalar,
-    "simhash_sig": q_simhash_sig,
+    "minhash_sig": q_minhash_contract,
+    "simhash_sig": q_simhash_contract,
     "bands": q_bands,
     "simhash_pairs": q_simhash_pairs,
     "substr_pairs": q_substr_pairs,
     "verify_jaccard": q_verify_jaccard,
     "dedup_pipeline": q_dedup_pipeline,
     "recall": q_recall,
+    "incremental_dedup": q_incremental_dedup,
     # training-data extras
     "lang_id": q_lang_id,
     "quality_score": q_quality,
@@ -1026,6 +1094,11 @@ ORACLE_SQL: dict[str, str] = {
               " true AS hashes_nontrivial"),
     "simhash_pairs": ("SELECT true AS hamming_bounded,"
                       " true AS src_lt_dst, true AS nonempty"),
+    "minhash_sig": ("SELECT true AS one_sig_per_doc,"
+                    " true AS doc_ids_unique, true AS len_is_n_perm,"
+                    " true AS digests_vary"),
+    "simhash_sig": ("SELECT true AS one_fp_per_doc,"
+                    " true AS fingerprints_vary, true AS popcount_sane"),
     "simhash_sorted": ("SELECT true AS hamming_bounded,"
                        " true AS src_lt_dst, true AS nonempty"),
     "substr_pairs": ("SELECT true AS weight_ge_threshold,"
@@ -1037,7 +1110,11 @@ ORACLE_SQL: dict[str, str] = {
                        " true AS doc_ids_unique, true AS cluster_is_min,"
                        " true AS merged_some"),
     "recall": ("SELECT true AS recall_ok, true AS precision_ok,"
-               " true AS pairs_nonempty"),
+               " true AS specificity_ok, true AS pairs_nonempty"),
+    "incremental_dedup": ("SELECT true AS all_docs_labeled,"
+                          " true AS inc_to_batch_functional,"
+                          " true AS batch_to_inc_functional,"
+                          " true AS nontrivial"),
     "ann_lsh": ("SELECT true AS recall_ok, true AS twin_recall_ok,"
                 " true AS nonempty"),
     "ann_ivf": ("SELECT true AS recall_ok, true AS twin_recall_ok,"

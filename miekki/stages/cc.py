@@ -80,11 +80,21 @@ def fused_star_round(edges: DataFrame) -> DataFrame:
     ws = Window.partitionBy("u").orderBy("v")
     s = (large.withColumn("mn", F.first("v").over(ws))
          .withColumn("rn", F.row_number().over(ws)))
-    out1 = (s.where(F.col("v") != F.col("mn"))
-            .select(F.col("v").alias("src"), F.col("mn").alias("dst")))
-    out2 = (s.where(F.col("rn") == 1)
-            .select(F.col("u").alias("src"), F.col("mn").alias("dst")))
-    return out1.unionByName(out2).distinct()
+    # both small-star outputs in ONE projection (explode of a 2-slot
+    # struct array), NOT a union of two filters over `s`: a union
+    # duplicates the whole window subtree per branch and Catalyst's
+    # per-branch column pruning then makes the two S-window exchanges
+    # non-identical, so even AQE exchange reuse executed 4 shuffles
+    # (measured; the plan-level test pins the fixed shape at 3)
+    member = F.when(F.col("v") != F.col("mn"),
+                    F.struct(F.col("v").alias("src"),
+                             F.col("mn").alias("dst")))
+    head = F.when(F.col("rn") == 1,
+                  F.struct(F.col("u").alias("src"),
+                           F.col("mn").alias("dst")))
+    return (s.select(F.explode(F.array(member, head)).alias("e"))
+            .where(F.col("e").isNotNull())
+            .select("e.src", "e.dst").distinct())
 
 
 _STAT_EXPRS = lambda: (F.count(F.lit(1)).alias("n"),  # noqa: E731

@@ -43,8 +43,19 @@ def _bin_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     encoded text."""
     if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
         arr = arr.combine_chunks()
+    if len(arr) == 0:  # empty arrays may carry no buffers at all
+        return (np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64))
+    # offset width follows the Arrow type: misreading a large_binary
+    # buffer as int32 would silently corrupt run lengths (ADVICE r3)
+    if pa.types.is_binary(arr.type) or pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    elif (pa.types.is_large_binary(arr.type)
+          or pa.types.is_large_string(arr.type)):  # pragma: no cover
+        off_dtype = np.int64
+    else:  # pragma: no cover
+        raise TypeError(f"_bin_view: unsupported Arrow type {arr.type}")
     bufs = arr.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
         arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
     return data, offs - offs[0]

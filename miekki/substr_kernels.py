@@ -61,6 +61,36 @@ def rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
     return fmix64((s[k:] - s[:-k]) * pow_binv)
 
 
+def payload_hashes(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """uint64 content hash of every variable-length row of a flat
+    uint8 buffer (``offs``: n+1 row byte offsets) — ONE prefix-sum
+    pass, no per-row Python (r4; the media stubs hashed each payload
+    with the scalar oracle xxh64 in a list comprehension, VERDICT r3
+    what's-wrong #3). Same polynomial family as rolling_hashes —
+    H_row = fmix64( (S[end] − S[start]) · B^{−start} ⊕ len ) — the
+    length mix separates rows that differ only in trailing NULs.
+    Deterministic in the bytes alone, so stable across partitionings;
+    NOT xxh64 (the stubs only need a stable avalanche hash)."""
+    n = len(data)
+    starts = offs[:-1].astype(np.int64)
+    lens = np.diff(offs).astype(np.uint64)
+    if n == 0:
+        return fmix64(lens)
+    b = data.astype(np.uint64)
+    pow_b = np.empty(n, dtype=np.uint64)
+    pow_b[0] = 1
+    np.multiply.accumulate(np.full(n - 1, ROLL_BASE, dtype=np.uint64),
+                           out=pow_b[1:])
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.add.accumulate(b * pow_b, out=s[1:])
+    pow_binv = np.empty(n, dtype=np.uint64)
+    pow_binv[0] = 1
+    np.multiply.accumulate(np.full(n - 1, _ROLL_BASE_INV, dtype=np.uint64),
+                           out=pow_binv[1:])
+    h = (s[offs[1:]] - s[starts]) * pow_binv[starts]
+    return fmix64(h ^ lens)
+
+
 def winnow_positions(h: np.ndarray, w: int) -> np.ndarray:
     """Leftmost-min winnowing: for every window of w consecutive hash
     positions pick argmin (ties -> leftmost), return the deduped
@@ -153,23 +183,45 @@ def batch_doc_anchors(data: np.ndarray, offs: np.ndarray, k: int, w: int
     # unique of the scalar kernel == the global unique restricted to
     # the doc's range
     long_mask = nh > w
-    valid = np.zeros(max(m, 0), dtype=bool)
-    for o, cnt in zip(starts[long_mask], (nh - w + 1)[long_mask]):
-        valid[o: o + cnt] = True                 # cheap slice writes
-    sel = np.unique(full_min[valid[: len(full_min)]]) if m > 0 else \
-        np.empty(0, dtype=np.int64)
+    # difference-array + cumsum instead of one slice write per long
+    # doc (r4, VERDICT r3 next-step #7 companion): doc starts/ends are
+    # each strictly increasing, so plain fancy-index +1/-1 is exact
+    if m > 0 and long_mask.any():
+        lo = starts[long_mask].astype(np.int64)
+        ends = lo + (nh - w + 1)[long_mask].astype(np.int64)
+        d = np.zeros(m + 1, dtype=np.int32)
+        d[lo] += 1
+        d[ends] -= 1
+        valid = np.cumsum(d[:-1]) > 0
+        sel = np.unique(full_min[valid])
+    else:
+        sel = np.empty(0, dtype=np.int64)
     if len(sel):
         rows = np.searchsorted(offs, sel, side="right") - 1
         row_out.append(rows.astype(np.int64))
         fp_out.append(h[sel].view(np.int64))
         pos_out.append((sel - starts[rows]).astype(np.int32))
-    # short docs (0 < nh <= w): single leftmost argmin each
-    for i in np.nonzero((nh > 0) & ~long_mask)[0]:
-        o = int(starts[i])
-        p = o + int(np.argmin(h[o: o + int(nh[i])]))
-        row_out.append(np.array([i], dtype=np.int64))
-        fp_out.append(h[p: p + 1].view(np.int64))
-        pos_out.append(np.array([p - o], dtype=np.int32))
+    # short docs (0 < nh <= w): leftmost argmin each, as ONE flat
+    # gather + minimum.reduceat pass (r4, VERDICT r3 next-step #7 —
+    # the per-doc Python argmin loop was O(n_docs) interpreter time on
+    # a corpus of tweets). Each doc's hash range is materialized once
+    # (<= w values), segment minima come from reduceat, and the
+    # LEFTMOST position ties-break by reduceat-min over within-range
+    # offsets masked to min-valued slots.
+    short_idx = np.nonzero((nh > 0) & ~long_mask)[0]
+    if len(short_idx):
+        so = starts[short_idx].astype(np.int64)
+        scnt = nh[short_idx].astype(np.int64)
+        bounds = np.concatenate([[0], np.cumsum(scnt)[:-1]])
+        intra = np.arange(int(scnt.sum()), dtype=np.int64) \
+            - np.repeat(bounds, scnt)
+        vals = h[np.repeat(so, scnt) + intra]
+        minv = np.minimum.reduceat(vals, bounds)
+        cand = np.where(vals == np.repeat(minv, scnt), intra, len(h))
+        p = so + np.minimum.reduceat(cand, bounds)
+        row_out.append(short_idx.astype(np.int64))
+        fp_out.append(h[p].view(np.int64))
+        pos_out.append((p - so).astype(np.int32))
     if not row_out:
         e = np.empty(0, dtype=np.int64)
         return e, e.copy(), np.empty(0, dtype=np.int32)

@@ -51,6 +51,29 @@ def test_cc_random_graphs(spark):
         assert spark_cc(spark, edges, ids.tolist()) == oracle_cc(edges, ids.tolist())
 
 
+def test_fused_round_is_three_exchanges(spark):
+    """The r4 claim behind fused_star_round — one Exchange per star
+    window plus the round-end distinct, with the shared small-star
+    subtree served by exchange reuse — pinned at the plan level so a
+    regression back to the ~8-stage groupBy+join shape is caught."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from miekki.stages.cc import fused_star_round
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (1, 7)], "src long, dst long")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fused_star_round(e).explain("formatted")
+    plan = buf.getvalue()
+    # formatted explain lists every operator once in the tree and once
+    # as a "(n) Exchange" detail header — count the headers
+    real = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert real <= 3, plan
+
+
 def test_fused_round_matches_two_star_composition(spark):
     """fused_star_round (the r4 3-exchange window round used by
     cc_fixpoint) must emit exactly the edge SET of
