@@ -135,7 +135,7 @@ def main():
             pairs = pairs.unionByName(e)
     pairs = pairs.select("src", "dst").dropDuplicates(["src", "dst"])
     pairs = timed("edge_union", lambda: pairs.localCheckpoint())
-    labels = timed("cc", lambda: cc_labels(
+    labels = timed_reps("cc", lambda: cc_labels(
         pairs, docs.select("doc_id")).localCheckpoint())
     meta = docs.select("doc_id", "url").join(
         corpus.select("url", "warc_ts"), "url")
