@@ -30,6 +30,11 @@ from miekki.stages.lsh import band_table, star_edges
 # prune directories (VERDICT r2 missing #3 / r3 what's-wrong #1)
 STREAM_STATE_PARTS = 64
 
+# endpoint-id sets up to this many rows ride broadcast semi-joins
+# (~16 B/id → ~80 MB); beyond it the batch falls back to shuffled
+# semi-joins (tests monkeypatch this to exercise the fallback)
+BROADCAST_IDS_MAX = 5_000_000
+
 
 def _spt(col: str = "doc_id"):
     """Signature/label state partition: hash the id rather than cast it
@@ -75,10 +80,11 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
        (read_stream_labels), folded by compact_stream_state.
 
     All broadcasts are O(batch): bucket keys ≤ bands·|batch|, endpoint
-    ids ≤ 2·|candidate edges|. At 10^12-doc scale with multi-GB
-    micro-batches the endpoint broadcast would be replaced by a
-    bucketed (bucket_by doc_id) state table + one-sided join — the
-    Iceberg path gets that from hidden bucket partitioning.
+    ids ≤ 2·|candidate edges|; past 5M endpoint ids the semi-joins
+    fall back to shuffled form (one O(history-slice) shuffle for that
+    batch instead of a driver OOM). A deployment with routinely-huge
+    batches would instead bucket the state tables by doc_id (Iceberg
+    hidden bucket partitioning) and keep the joins one-sided.
 
     Returns the updated full label view (lazy merge-on-read).
     """
@@ -133,6 +139,13 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
     need = (cand.select(F.col("src").alias("doc_id"))
             .unionByName(cand.select(F.col("dst").alias("doc_id")))
             .distinct().localCheckpoint())
+    # broadcast the endpoint ids while they plausibly fit the driver;
+    # a giant backfill batch falls back to a shuffled semi-join —
+    # history pays one shuffle for THAT batch only, instead of
+    # risking a driver OOM. need is localCheckpoint-ed, so the count
+    # is on materialized data.
+    need_small = need.count() <= BROADCAST_IDS_MAX
+    need_side = F.broadcast(need) if need_small else need
     if have_state:
         spts = [r[0] for r in need.select(_spt().alias("spt"))
                 .distinct().collect()]
@@ -141,7 +154,7 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
     else:
         pool = sigs
     w_latest = Window.partitionBy("doc_id").orderBy(F.col("bseq").desc())
-    need_sigs = (pool.join(F.broadcast(need), "doc_id", "left_semi")
+    need_sigs = (pool.join(need_side, "doc_id", "left_semi")
                  .withColumn("_rn", F.row_number().over(w_latest))
                  .where(F.col("_rn") == 1).drop("_rn"))
     edges = (verify_edges(cand, need_sigs, cfg)
@@ -152,9 +165,11 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
         ep = (edges.select(F.col("src").alias("doc_id"))
               .unionByName(edges.select(F.col("dst").alias("doc_id")))
               .distinct())
+        # ep ⊆ need, so need's broadcast-size decision covers it
+        ep_side = F.broadcast(ep) if need_small else ep
         # current clusters of the endpoints: min over their delta rows
         # is their latest label (see read_stream_labels)
-        touched_clusters = (raw.join(F.broadcast(ep), "doc_id", "left_semi")
+        touched_clusters = (raw.join(ep_side, "doc_id", "left_semi")
                             .groupBy("doc_id")
                             .agg(F.min("cluster_id").alias("cluster_id"))
                             .select("cluster_id").distinct())
@@ -164,8 +179,9 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
         # doc leaves C only if all of C does (components merge whole).
         # Hence this semi-join is complete AND exact — two O(history)
         # columnar scans, zero O(history) shuffles.
-        affected = (raw.join(F.broadcast(touched_clusters), "cluster_id",
-                             "left_semi")
+        tc_side = (F.broadcast(touched_clusters) if need_small
+                   else touched_clusters)
+        affected = (raw.join(tc_side, "cluster_id", "left_semi")
                     .groupBy("doc_id")
                     .agg(F.min("cluster_id").alias("cluster_id")))
         label_edges = (affected

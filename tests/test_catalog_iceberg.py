@@ -136,3 +136,33 @@ def test_table_bytes_sums_file_sizes():
     assert cat.table_bytes("signatures") == 4096
     assert "file_size_in_bytes" in spark.sql_log[-1]
     assert "lake.dedup.signatures.files" in spark.sql_log[-1]
+
+
+def test_corpus_ddl_hidden_partitioning():
+    """r4 (ROADMAP r1 #4 string surface): the corpus DDL carries the
+    hidden-partitioning spec (lang + days(warc_ts)), the input_hint
+    schema, and sane write properties — validated at SQL-text level
+    because partition transforms exist only in DDL and the runtime
+    jar is absent here."""
+    from miekki.catalog import iceberg_corpus_ddl
+
+    ddl = iceberg_corpus_ddl("lake.dedup")
+    assert "CREATE TABLE IF NOT EXISTS lake.dedup.corpus" in ddl
+    assert "PARTITIONED BY (lang, days(warc_ts))" in ddl
+    assert "USING iceberg" in ddl
+    for col in ("url string", "warc_ts timestamp", "html binary",
+                "text string", "lang string"):
+        assert col in ddl, col
+    assert "write.distribution-mode" in ddl
+
+
+def test_maintenance_sql_covers_expiry_orphans_compaction():
+    from miekki.catalog import iceberg_maintenance_sql
+
+    calls = iceberg_maintenance_sql("lake.dedup", "stream_signatures",
+                                    older_than_days=3)
+    joined = "\n".join(calls)
+    assert "expire_snapshots" in joined and "interval 3 days" in joined
+    assert "remove_orphan_files" in joined
+    assert "rewrite_data_files" in joined
+    assert all("lake.dedup.stream_signatures" in c for c in calls)

@@ -231,6 +231,30 @@ def test_stream_cost_bounded_by_batch(spark, tmp_path_factory):
     assert read_stream_labels(cat).count() == 2100
 
 
+def test_incremental_shuffled_fallback_matches(spark, split_corpus,
+                                               tmp_path_factory,
+                                               monkeypatch):
+    """With BROADCAST_IDS_MAX forced to 0 every semi-join takes the
+    shuffled fallback path (the giant-backfill-batch degradation);
+    labels must be identical to the broadcast path's."""
+    import miekki.streaming as st
+
+    cfg = DedupConfig()
+    part1, part2 = split_corpus
+
+    def run(cat):
+        st.incremental_dedup_batch(spark, cat,
+                                   spark.createDataFrame(part1), cfg, "a")
+        return (st.incremental_dedup_batch(
+            spark, cat, spark.createDataFrame(part2), cfg, "b")
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+    base = run(HadoopCatalog(spark, str(tmp_path_factory.mktemp("bc"))))
+    monkeypatch.setattr(st, "BROADCAST_IDS_MAX", 0)
+    fb = run(HadoopCatalog(spark, str(tmp_path_factory.mktemp("fb"))))
+    pd.testing.assert_frame_equal(base, fb)
+
+
 def test_real_stream_two_batches(spark, split_corpus, tmp_path_factory):
     from miekki.streaming import run_incremental_stream
 
