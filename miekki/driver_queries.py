@@ -629,6 +629,61 @@ def q_ngram_jaccard(spark, sf_dir):
                     .alias("jaccard_w3")))
 
 
+# messy-URL synthesis for the url_canon cross-check: both dialects
+# build the SAME deterministic url from doc_id (mixed-case scheme/
+# host, default + non-default ports, trailing slashes, tracking
+# params, fragments), then each engine canonicalizes it with its own
+# independently-written implementation (miekki/decontam.py).
+_MESSY_URL_SPARK = (
+    "concat(case when pmod(doc_id, 2) = 0 then 'HTTPS' else 'Http' end,"
+    " '://WWW.Site', cast(pmod(doc_id, 7) as string), '.Example.COM',"
+    " case pmod(doc_id, 4) when 0 then ':443' when 1 then ':80'"
+    "  when 2 then ':8080' else '' end,"
+    " '/Article/', cast(doc_id as string),"
+    " case pmod(doc_id, 3) when 0 then '/' when 1 then ''"
+    "  else '/Index.HTML' end,"
+    " '?utm_source=rss&id=', cast(pmod(doc_id, 50) as string), '&b=2&a=1',"
+    " case when pmod(doc_id, 5) = 0 then '&fbclid=xYz' else '' end,"
+    " '#Sec-', cast(pmod(doc_id, 5) as string))")
+
+_MESSY_URL_DUCK = (
+    "CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 'HTTPS' ELSE 'Http' END"
+    " || '://WWW.Site' || CAST(((doc_id % 7) + 7) % 7 AS VARCHAR)"
+    " || '.Example.COM'"
+    " || CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'"
+    "    WHEN 2 THEN ':8080' ELSE '' END"
+    " || '/Article/' || CAST(doc_id AS VARCHAR)"
+    " || CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN '/' WHEN 1 THEN ''"
+    "    ELSE '/Index.HTML' END"
+    " || '?utm_source=rss&id=' || CAST(((doc_id % 50) + 50) % 50 AS VARCHAR)"
+    " || '&b=2&a=1'"
+    " || CASE WHEN ((doc_id % 5) + 5) % 5 = 0 THEN '&fbclid=xYz'"
+    "    ELSE '' END"
+    " || '#Sec-' || CAST(((doc_id % 5) + 5) % 5 AS VARCHAR)")
+
+
+def q_url_canon(spark, sf_dir):
+    """X18: canonicalize a synthesized messy URL per doc (map-only,
+    codegen'd string ops). DuckDB recomputes the full per-row value
+    with its own implementation of the pinned spec."""
+    from miekki.decontam import canonical_url_col
+
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.expr(_MESSY_URL_SPARK).alias("url"))
+            .select("doc_id", canonical_url_col("url").alias("canon_url")))
+
+
+def q_decontam(spark, sf_dir):
+    """X17: per-training-doc benchmark-contamination report (8-word
+    grams, bench = pmod(doc_id, 97) == 0). String-gram mode so DuckDB
+    verifies values; production defaults to xxhash64 grams (8 B each
+    broadcast) — hash/string parity is pytest-pinned."""
+    from miekki.decontam import decontaminate
+
+    docs = _norm_docs(spark, sf_dir)
+    return decontaminate(docs, n=8, hash_grams=False)
+
+
 def _emb(spark, sf_dir):
     return _t(spark, sf_dir, "embeddings")
 
@@ -905,6 +960,8 @@ QUERIES: dict[str, Callable] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "ngram_jaccard": q_ngram_jaccard,
+    "url_canon": q_url_canon,
+    "decontam": q_decontam,
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
@@ -1142,9 +1199,14 @@ ORACLE_SQL: dict[str, str] = {
 
 
 def _extras_oracle_sql() -> dict[str, str]:
+    from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
 
     return {
+        "url_canon": (
+            f"SELECT doc_id, {canonical_url_duck(_MESSY_URL_DUCK)}"
+            " AS canon_url FROM documents"),
+        "decontam": decontaminate_duck_sql(_NORM_CTE, n=8),
         "lang_id": (f"SELECT doc_id, {lang_id_duck_sql('norm')} AS pred_lang"
                     f" FROM ({_NORM_CTE})"),
         "quality_score": (f"SELECT doc_id, {quality_duck_cols('norm')}"
