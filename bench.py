@@ -13,6 +13,10 @@ The corpus is synthesized deterministically from documents.parquet
 never createDataFrame from the driver.
 
 Env knobs:
+  MIEKKI_BENCH_E2E_REPS  cold e2e repetitions; headline = min, every
+                      rep reported (tenant noise swings identical
+                      runs 2x; min is the uncontended-wall estimator
+                      this repo reports everywhere). Default 2
   MIEKKI_BENCH_MULT   widen the corpus by K deterministic perturbed
                       replicas (non-dups across replicas); default 16
                       (192k docs): at the raw 12k-doc sf0.1 corpus the
@@ -146,10 +150,18 @@ def main():
     # real cluster)
     dedup_labels(corpus.limit(256), cfg).count()
 
-    # headline: cold end-to-end (re-runs everything incl. CC)
-    t0 = time.time()
-    n_labels = dedup_labels(corpus, cfg).count()
-    e2e = round(time.time() - t0, 2)
+    # headline: cold end-to-end (re-runs everything incl. CC),
+    # min-of-REPS with every rep reported — identical runs swing up
+    # to 2x under this box's tenant load (BENCH/BASELINE.md), and the
+    # minimum is this repo's established uncontended-wall estimator
+    reps = int(os.environ.get("MIEKKI_BENCH_E2E_REPS", "2"))
+    e2e_walls = []
+    for i in range(reps):
+        t0 = time.time()
+        n_labels = dedup_labels(corpus, cfg).count()
+        e2e_walls.append(round(time.time() - t0, 2))
+        timings[f"dedup_e2e_rep{i + 1}"] = e2e_walls[-1]
+    e2e = min(e2e_walls)
     timings["dedup_e2e"] = e2e
 
     if not os.environ.get("MIEKKI_BENCH_E2E_ONLY"):

@@ -95,7 +95,17 @@ hit = sum(lmap[r.src] == lmap[r.dst] for _, r in gate.iterrows())
 print(f"recall (J>=0.72 pairs): {hit}/{len(gate)} = {hit/len(gate):.4f}")
 for kind, grp in tp.groupby("kind"):
     h = sum(lmap[r.src] == lmap[r.dst] for _, r in grp.iterrows())
-    print(f"  {kind:9s}: {h}/{len(grp)}")
+    note = ""
+    if kind == "contain":
+        # contain pairs are dups only when the shared run reaches the
+        # pinned L (cfg.substr_len); shorter-run fixtures are planted
+        # NON-dups under the spec, so the honest denominator is the
+        # catchable subset
+        catchable = grp[grp.run_bytes >= cfg.substr_len]
+        hc = sum(lmap[r.src] == lmap[r.dst] for _, r in catchable.iterrows())
+        note = (f"  (catchable run>=L={cfg.substr_len}:"
+                f" {hc}/{len(catchable)})")
+    print(f"  {kind:9s}: {h}/{len(grp)}{note}")
 
 spark.stop()
 sys.exit(0 if (mism == 0 and bad == 0) else 1)
