@@ -80,26 +80,29 @@ class HadoopCatalog(Catalog):
         tag = hashlib.sha1(self.root.encode()).hexdigest()[:8]
         return f"mk_{tag}_{name}"
 
+    def _register_bucketed(self, name: str, b: dict, path: str) -> str:
+        """(Re-)register the external bucketed table (bucket metadata
+        lives in the session catalog, not in parquet files); a resumed
+        session re-creates it from the manifest, so the shuffle-free
+        read-back survives restarts. The real Iceberg path gets this
+        from table metadata instead."""
+        tbl = self._table_ident(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        cols = ", ".join(f"`{c}` {t}" for c, t in b["schema"])
+        cluster = ", ".join(f"`{c}`" for c in b["cols"])
+        self.spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING parquet"
+            f" CLUSTERED BY ({cluster}) SORTED BY ({cluster})"
+            f" INTO {b['n']} BUCKETS LOCATION '{path}'")
+        return tbl
+
     def read(self, name: str) -> DataFrame:
         with open(self._manifest(name)) as f:
             m = json.load(f)
         path = os.path.join(self._dir(name), m["data"])
         b = m.get("bucket")
         if b:
-            # re-register the external bucketed table (bucket metadata
-            # lives in the session catalog, not in parquet files); a
-            # resumed session re-creates it from the manifest, so the
-            # shuffle-free read-back survives restarts. The real
-            # Iceberg path gets this from table metadata instead.
-            tbl = self._table_ident(name)
-            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            cols = ", ".join(f"`{c}` {t}" for c, t in b["schema"])
-            cluster = ", ".join(f"`{c}`" for c in b["cols"])
-            self.spark.sql(
-                f"CREATE TABLE {tbl} ({cols}) USING parquet"
-                f" CLUSTERED BY ({cluster}) SORTED BY ({cluster})"
-                f" INTO {b['n']} BUCKETS LOCATION '{path}'")
-            return self.spark.table(tbl)
+            return self.spark.table(self._register_bucketed(name, b, path))
         return self.spark.read.parquet(path)
 
     def overwrite(self, name: str, df: DataFrame, run_id: str,
@@ -152,8 +155,14 @@ class HadoopCatalog(Catalog):
         old code always wrote `data_append`, so rows appended after an
         overwrite landed in a directory the manifest no longer
         referenced — invisible to readers from the third micro-batch
-        on). The manifest is rewritten with a fresh snapshot id so
-        lineage-based resume sees appends as state changes."""
+        on). Bucketed tables keep their layout across appends (r4):
+        each append lands one file set of n_buckets correctly-hashed
+        files, the scan stays ``Bucketed: true`` (Spark groups files
+        by bucket id), so doc_id-keyed joins over the table remain
+        exchange-free; only per-file sortedness is lost, which costs a
+        Sort, never an Exchange. The manifest is rewritten with a
+        fresh snapshot id so lineage-based resume sees appends as
+        state changes."""
         d = self._dir(name)
         if not self.exists(name):
             m = {"data": "data_append", "run_id": "append",
@@ -161,23 +170,29 @@ class HadoopCatalog(Catalog):
         else:
             with open(self._manifest(name)) as f:
                 m = json.load(f)
-            if m.get("bucket"):
-                raise NotImplementedError(
-                    "append into a bucketed table would break its bucket"
-                    " file layout; use overwrite(bucket_by=...)")
             partition_by = partition_by or m.get("partition")
         path = os.path.join(d, m["data"])
-        w = df.write.mode("append")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
+        b = m.get("bucket")
+        if b:
+            tbl = self._register_bucketed(name, b, path)
+            # saveAsTable-append resolves columns BY NAME against the
+            # registered schema and validates the bucket spec; the
+            # pre-repartition keeps it to one file per bucket per
+            # append (same small-files guard as overwrite)
+            (df.repartition(b["n"], *b["cols"])
+               .write.mode("append").format("parquet")
+               .bucketBy(b["n"], *b["cols"]).sortBy(*b["cols"])
+               .option("path", path).saveAsTable(tbl))
+        else:
+            w = df.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
         tmp = self._manifest(name) + ".tmp"
         with open(tmp, "w") as f:
             # spread the existing manifest so fields this writer does
-            # not know about survive the append (ADVICE r3); bucket is
-            # always None here — the bucketed path raises above
+            # not know about survive the append (ADVICE r3)
             json.dump({**m, "snapshot": uuid.uuid4().hex,
-                       "bucket": None,
                        "partition": partition_by,
                        "written_at": time.time()}, f)
         os.replace(tmp, self._manifest(name))

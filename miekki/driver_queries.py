@@ -684,6 +684,82 @@ def q_decontam(spark, sf_dir):
     return decontaminate(docs, n=8, hash_grams=False)
 
 
+# planted-PII synthesis for the pii_stats cross-check (the organic
+# fixture text is letter-only, so without planting every count is a
+# vacuous 0): both dialects append the SAME deterministic email / ipv4
+# / phone fragments from doc_id, then each engine counts and redacts
+# with its OWN regex engine (Java vs RE2; patterns pinned
+# dialect-portable in miekki/webstats.py).
+_PII_TEXT_SPARK = (
+    "concat(text,"
+    " case when pmod(doc_id, 3) = 0 then concat(' contact user',"
+    "  cast(doc_id as string), '@mail.example.org now') else '' end,"
+    " case when pmod(doc_id, 4) = 0 then concat(' server 10.',"
+    "  cast(pmod(doc_id, 200) as string), '.0.',"
+    "  cast(pmod(doc_id, 250) as string), ' up') else '' end,"
+    " case when pmod(doc_id, 5) = 0 then concat(' call (',"
+    "  cast(100 + pmod(doc_id, 900) as string), ') 555-',"
+    "  lpad(cast(pmod(doc_id, 10000) as string), 4, '0')) else '' end)")
+
+_PII_TEXT_DUCK = (
+    "text ||"
+    " CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN ' contact user'"
+    "  || CAST(doc_id AS VARCHAR) || '@mail.example.org now'"
+    "  ELSE '' END ||"
+    " CASE WHEN ((doc_id % 4) + 4) % 4 = 0 THEN ' server 10.'"
+    "  || CAST(((doc_id % 200) + 200) % 200 AS VARCHAR) || '.0.'"
+    "  || CAST(((doc_id % 250) + 250) % 250 AS VARCHAR) || ' up'"
+    "  ELSE '' END ||"
+    " CASE WHEN ((doc_id % 5) + 5) % 5 = 0 THEN ' call ('"
+    "  || CAST(100 + ((doc_id % 900) + 900) % 900 AS VARCHAR)"
+    "  || ') 555-'"
+    "  || lpad(CAST(((doc_id % 10000) + 10000) % 10000 AS VARCHAR),"
+    "          4, '0')"
+    "  ELSE '' END")
+
+
+def q_pii(spark, sf_dir):
+    """X19: PII counts + redaction over deterministically planted
+    emails / IPv4s / phone numbers. Map-only codegen'd projection;
+    full per-row DuckDB value twin (counts AND redacted text)."""
+    from miekki.webstats import pii_stats
+
+    return pii_stats(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_PII_TEXT_SPARK).alias("text")))
+
+
+def q_domain_stats(spark, sf_dir):
+    """X20: per-domain rollup + blocklist flag over the synthesized
+    messy URLs (host extraction shares the canonicalization spec).
+    One partial-aggregated shuffle keyed by host."""
+    from miekki.webstats import domain_stats
+
+    return domain_stats(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_MESSY_URL_SPARK).alias("url"),
+                "n_chars"),
+        chars_col="n_chars", blocklist=("site3.example.com",))
+
+
+def q_vocab_topk(spark, sf_dir):
+    """X21: corpus vocabulary top-100 (map-side partial aggregation +
+    TakeOrderedAndProject; ties broken by token in both engines)."""
+    from miekki.webstats import vocab_topk
+
+    return vocab_topk(_norm_docs(spark, sf_dir), k=100)
+
+
+def q_repetition(spark, sf_dir):
+    """X22: Gopher-style duplicate-n-gram fractions (n = 2, 3),
+    map-only per-row array ops; full per-row DuckDB value twin."""
+    from miekki.webstats import repetition_columns
+
+    cols = repetition_columns("norm")
+    return _norm_docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
 def _emb(spark, sf_dir):
     return _t(spark, sf_dir, "embeddings")
 
@@ -962,6 +1038,10 @@ QUERIES: dict[str, Callable] = {
     "ngram_jaccard": q_ngram_jaccard,
     "url_canon": q_url_canon,
     "decontam": q_decontam,
+    "pii_stats": q_pii,
+    "domain_stats": q_domain_stats,
+    "vocab_topk": q_vocab_topk,
+    "repetition": q_repetition,
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
@@ -1201,12 +1281,25 @@ ORACLE_SQL: dict[str, str] = {
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
+    from miekki.webstats import (domain_stats_duck_sql, pii_duck_cols,
+                                 repetition_duck_cols, vocab_topk_duck_sql)
 
     return {
         "url_canon": (
             f"SELECT doc_id, {canonical_url_duck(_MESSY_URL_DUCK)}"
             " AS canon_url FROM documents"),
         "decontam": decontaminate_duck_sql(_NORM_CTE, n=8),
+        "pii_stats": (
+            f"SELECT doc_id, {pii_duck_cols('text')} FROM"
+            f" (SELECT doc_id, {_PII_TEXT_DUCK} AS text FROM documents)"),
+        "domain_stats": domain_stats_duck_sql(
+            f"(SELECT {_MESSY_URL_DUCK} AS url, n_chars FROM documents)",
+            "url", chars_col="n_chars",
+            blocklist=("site3.example.com",)),
+        "vocab_topk": vocab_topk_duck_sql(_NORM_CTE, k=100),
+        "repetition": (
+            f"SELECT doc_id, {repetition_duck_cols('norm')}"
+            f" FROM ({_NORM_CTE})"),
         "lang_id": (f"SELECT doc_id, {lang_id_duck_sql('norm')} AS pred_lang"
                     f" FROM ({_NORM_CTE})"),
         "quality_score": (f"SELECT doc_id, {quality_duck_cols('norm')}"

@@ -1,0 +1,245 @@
+"""Web-corpus filtering/statistics operators (SURVEY.md §2.0c
+X19–X22) — the filter battery a training-data pipeline runs between
+extraction and dedup.
+
+All four are pure Spark built-ins (whole-stage codegen, zero Python on
+the hot path) with independently-written DuckDB twins for the driver
+cross-check. Regex constants are shared and kept dialect-portable
+(no lookahead, no backrefs, no \\u escapes) so Java regex (Spark) and
+RE2 (DuckDB) agree byte-for-byte — the same contract decontam.py
+pins for URL canonicalization.
+
+X19 — PII detection + redaction (emails, IPv4, NANP-style phone
+numbers). Map-only: counts via regexp_extract_all, redaction via a
+FIXED chain of regexp_replace (emails first, so an address never
+leaves a digit-run behind for the phone pass to half-match). At
+100 TB this is a single codegen'd projection — no shuffle, no UDF.
+Pattern scope is documented, not universal: internationalized phone
+formats and IPv6 are out of scope (a production deployment swaps in
+a larger pattern table, same plan shape).
+
+X20 — domain statistics + blocklist: host extraction reuses the
+canonicalization spec (port stripped, leading 'www.' dropped,
+lowercased), then one count/sum aggregation keyed by host. Hot
+domains (a crawl is Zipfian in hosts) are safe: count/sum/avg
+partial-aggregate map-side, so the shuffle carries one row per
+(partition, host), not per doc. The blocklist rides as a literal
+isin for small lists; a big blocklist becomes a broadcast anti-join
+with the identical result column.
+
+X21 — corpus vocabulary top-k: explode tokens → count → top-k.
+Token-count aggregation needs NO manual salting: HashAggregate's
+partial/final split IS the two-level aggregation (stopwords collapse
+to one row per map partition before the exchange). Top-k compiles to
+TakeOrderedAndProject — per-partition heaps, never a global sort.
+Ties at the boundary are broken by token ASC in both engines so the
+result SET is deterministic.
+
+X22 — repetition scores (Gopher-style, Rae et al. 2021 §A1.1):
+fraction of duplicate word n-grams per document (n = 2, 3), the
+classic boilerplate/spam signal. Per-row array ops only (split →
+transform → array_distinct) — map-only, no explode, no shuffle; docs
+shorter than n words score 0 by the one-gram convention shared with
+decontam.word_ngrams_col.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from miekki.decontam import HOSTPORT_RE
+
+# --- shared dialect-portable PII patterns ----------------------------
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PHONE_RE = "\\(?[0-9]{3}\\)?[- ][0-9]{3}[- ][0-9]{4}"
+
+# redaction applies patterns in THIS order (emails before ips/phones:
+# an address must vanish whole before the digit-oriented passes run)
+PII_ORDER = [("email", EMAIL_RE, "<EMAIL>"),
+             ("ipv4", IPV4_RE, "<IP>"),
+             ("phone", PHONE_RE, "<PHONE>")]
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# =====================================================================
+# X19 — PII
+# =====================================================================
+
+def pii_columns(text_col) -> dict[str, Column]:
+    """Per-doc PII match counts: {n_emails, n_ipv4, n_phones}.
+    Patterns are passed through the DataFrame API (F.lit), never an
+    expr() SQL string, so no second layer of backslash escaping."""
+    c = _c(text_col)
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint"),
+        "n_ipv4": F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), F.lit(0)))
+        .cast("bigint"),
+        "n_phones": F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint"),
+    }
+
+
+def redact_pii_col(text_col) -> Column:
+    """Redacted text: every PII match replaced by its token, applied
+    in the pinned PII_ORDER chain."""
+    c = _c(text_col)
+    for _, pat, tok in PII_ORDER:
+        c = F.regexp_replace(c, pat, tok)
+    return c
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Map-only operator: doc_id + PII counts + redacted text."""
+    cols = pii_columns(text_col)
+    return df.select("doc_id",
+                     *[c.alias(n) for n, c in cols.items()],
+                     redact_pii_col(text_col).alias("redacted"))
+
+
+def pii_duck_cols(expr: str) -> str:
+    """DuckDB select-list computing the same counts + redaction.
+    DuckDB's regexp_replace is first-match-only by default — the 'g'
+    option makes it global like Spark's."""
+    red = expr
+    for _, pat, tok in PII_ORDER:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return (
+        f"CAST(length(regexp_extract_all({expr}, '{EMAIL_RE}')) AS BIGINT)"
+        " AS n_emails,"
+        f" CAST(length(regexp_extract_all({expr}, '{IPV4_RE}')) AS BIGINT)"
+        " AS n_ipv4,"
+        f" CAST(length(regexp_extract_all({expr}, '{PHONE_RE}')) AS BIGINT)"
+        " AS n_phones,"
+        f" {red} AS redacted")
+
+
+# =====================================================================
+# X20 — domain statistics
+# =====================================================================
+
+def host_col(url_col) -> Column:
+    """Registrable-host extraction per the canonicalization spec:
+    lowercased authority, port stripped, one leading 'www.' dropped.
+    Non-absolute inputs (no '://') yield ''."""
+    hp = F.lower(F.regexp_extract(_c(url_col), HOSTPORT_RE, 1))
+    return F.regexp_replace(
+        F.regexp_replace(hp, ":[0-9]+$", ""), "^www\\.", "")
+
+
+def domain_stats(df: DataFrame, url_col: str = "url",
+                 chars_col: str | None = None,
+                 blocklist: tuple[str, ...] = ()) -> DataFrame:
+    """Per-domain rollup: (host, n_docs[, sum_chars], blocked).
+    One partial-aggregated shuffle keyed by host; the blocklist is a
+    literal isin (tiny) — swap for a broadcast anti-join when the
+    list outgrows the plan string, same output."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if chars_col:
+        aggs.append(F.sum(chars_col).cast("bigint").alias("sum_chars"))
+    out = (df.withColumn("host", host_col(url_col))
+           .groupBy("host").agg(*aggs))
+    blocked = (F.col("host").isin(*blocklist) if blocklist
+               else F.lit(False))
+    return out.withColumn("blocked", blocked)
+
+
+def domain_stats_duck_sql(src: str, url_expr: str,
+                          chars_col: str | None = None,
+                          blocklist: tuple[str, ...] = ()) -> str:
+    """DuckDB twin of domain_stats over ``src`` (a table or CTE)."""
+    hp = f"lower(regexp_extract({url_expr}, '{HOSTPORT_RE}', 1))"
+    host = (f"regexp_replace(regexp_replace({hp}, ':[0-9]+$', ''),"
+            f" '^www\\.', '')")
+    chars = (f", CAST(sum({chars_col}) AS BIGINT) AS sum_chars"
+             if chars_col else "")
+    if blocklist:
+        lits = ", ".join("'" + b.replace("'", "''") + "'"
+                         for b in blocklist)
+        blocked = f"host IN ({lits})"
+    else:
+        blocked = "FALSE"
+    return (f"SELECT host, CAST(count(*) AS BIGINT) AS n_docs{chars},"
+            f" {blocked} AS blocked"
+            f" FROM (SELECT {host} AS host"
+            f"{', ' + chars_col if chars_col else ''} FROM {src})"
+            " GROUP BY host")
+
+
+# =====================================================================
+# X21 — vocabulary top-k
+# =====================================================================
+
+def vocab_topk(docs_norm: DataFrame, k: int = 100,
+               norm_col: str = "norm") -> DataFrame:
+    """Corpus-wide token frequencies, top-k. groupBy(token).count()
+    partial-aggregates map-side (the built-in two-level aggregation —
+    no manual salt needed for associative aggs, unlike the window
+    operators in stages/lsh.py), and orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-k heaps merged on one
+    reducer; never a full sort of the vocabulary)."""
+    return (docs_norm
+            .select(F.explode(F.split(_c(norm_col), " ")).alias("token"))
+            .where(F.col("token") != "")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("token"))
+            .limit(k))
+
+
+def vocab_topk_duck_sql(norm_cte: str, k: int = 100) -> str:
+    return ("SELECT token, CAST(count(*) AS BIGINT) AS n"
+            " FROM (SELECT unnest(str_split(norm, ' ')) AS token"
+            f" FROM ({norm_cte}))"
+            " WHERE token <> ''"
+            " GROUP BY token ORDER BY n DESC, token LIMIT " + str(k))
+
+
+# =====================================================================
+# X22 — repetition scores
+# =====================================================================
+
+def repetition_columns(norm_col, ns: tuple[int, ...] = (2, 3)) \
+        -> dict[str, Column]:
+    """{dup{n}gram_frac: Column} — fraction of word n-grams that are
+    repeats of an earlier n-gram in the same doc (0.0 for docs with
+    <= 1 gram). Pure per-row array ops; rounded to 4 so float
+    formatting can't diverge between engines."""
+    words = F.split(_c(norm_col), " ")
+    out: dict[str, Column] = {}
+
+    # F.transform dispatches on the lambda's ARITY: a second parameter
+    # (even a defaulted `n=n` capture) turns it into the
+    # (element, index) form, silently binding n to the array index —
+    # every gram then had a different length and the dup fraction was
+    # identically 0. Capture n through a closure factory instead.
+    def _grammer(n: int):
+        return lambda i: F.concat_ws(" ", F.slice(words, i, n))
+
+    for n in ns:
+        grams = F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.lit(1), F.size(words) - (n - 1))),
+            _grammer(n))
+        total = F.size(grams)
+        frac = (total - F.size(F.array_distinct(grams))) / total
+        out[f"dup{n}gram_frac"] = F.round(frac, 4)
+    return out
+
+
+def repetition_duck_cols(expr: str, ns: tuple[int, ...] = (2, 3)) -> str:
+    parts = []
+    for n in ns:
+        k = n - 1
+        grams = (f"list_transform(generate_series(1, greatest(1,"
+                 f" length(str_split({expr}, ' ')) - {k})),"
+                 f" i -> array_to_string(list_slice("
+                 f"str_split({expr}, ' '), i, i + {k}), ' '))")
+        parts.append(
+            f"round((length({grams}) - length(list_distinct({grams})))"
+            f" / CAST(length({grams}) AS DOUBLE), 4)"
+            f" AS dup{n}gram_frac")
+    return ", ".join(parts)

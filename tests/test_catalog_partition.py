@@ -49,10 +49,19 @@ def test_append_partitioned_inherits_layout(spark, tmp_path_factory):
     assert got.count() == 80 // 8 + 40 // 8
 
 
-def test_append_into_bucketed_table_refused(spark, tmp_path_factory):
-    import pytest
-
+def test_append_into_bucketed_table_keeps_layout(spark, tmp_path_factory):
+    """r4 (stream-signature state): appends into a bucketed table must
+    keep the bucket layout — the scan stays `Bucketed: true` and a
+    k-keyed aggregation over the table needs NO Exchange, which is what
+    makes the streaming verify join one-sided at any history size."""
     cat = HadoopCatalog(spark, str(tmp_path_factory.mktemp("cat_bk")))
     cat.overwrite("t", _mk(spark, 64), run_id="r0", bucket_by=(4, ["k"]))
-    with pytest.raises(NotImplementedError):
-        cat.append("t", _mk(spark, 8))
+    snap0 = cat.snapshot_id("t")
+    cat.append("t", _mk(spark, 8))
+    t = cat.read("t")
+    assert t.count() == 72
+    assert cat.snapshot_id("t") != snap0
+    agg = t.groupBy("k").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange" not in plan, plan

@@ -180,15 +180,21 @@ class _ShuffleMeter:
         return total
 
 
-def test_stream_cost_bounded_by_batch(spark, tmp_path_factory):
+def test_stream_cost_bounded_by_batch(spark, tmp_path_factory, monkeypatch):
     """VERDICT r3 next-steps #2/#3: grow the stream state 4x, then run
     an identical-sized probe batch — (a) its shuffle-read bytes must
-    stay ~flat vs a probe at small state (history is pruned-scanned and
-    broadcast-semi-joined, never shuffled; the r3 code shuffled the
-    whole signature table every batch), and (b) the label delta it
-    appends must be O(batch), not O(corpus)."""
+    stay ~flat vs a probe at small state (history is scanned and
+    semi-joined in place, never shuffled; the r3 code shuffled the
+    whole signature table every batch), (b) the same flatness must
+    hold on the shuffled-FALLBACK path (BROADCAST_IDS_MAX=0): the
+    state tables are bucketed on their join keys, so even without
+    broadcasts only the batch side is exchanged (the r4 spt/pt layout
+    shuffled the history slice here), and (c) the label delta the
+    probe appends must be O(batch), not O(corpus)."""
+    import miekki.streaming as st
     from miekki.streaming import incremental_dedup_batch, read_stream_labels
 
+    bc_max = st.BROADCAST_IDS_MAX
     cfg = DedupConfig()
     cat = HadoopCatalog(spark, str(tmp_path_factory.mktemp("stream_flat")))
 
@@ -208,27 +214,38 @@ def test_stream_cost_bounded_by_batch(spark, tmp_path_factory):
     meter.take()                                  # discard builder cost
     incremental_dedup_batch(spark, cat, mk("probe", 50, 0), cfg, "p1")
     early = meter.take()
-    for k in range(3):                            # state 550 -> 2050
+    monkeypatch.setattr(st, "BROADCAST_IDS_MAX", 0)
+    incremental_dedup_batch(spark, cat, mk("probef", 50, 0), cfg, "p1f")
+    early_fb = meter.take()
+    monkeypatch.setattr(st, "BROADCAST_IDS_MAX", bc_max)
+    for k in range(3):                            # state 600 -> 2100
         incremental_dedup_batch(spark, cat, mk("state", 500, 500 * (k + 1)),
                                 cfg, f"a{k + 1}")
     meter.take()
     incremental_dedup_batch(spark, cat, mk("probe", 50, 50), cfg, "p2")
     late = meter.take()
+    monkeypatch.setattr(st, "BROADCAST_IDS_MAX", 0)
+    incremental_dedup_batch(spark, cat, mk("probef", 50, 50), cfg, "p2f")
+    late_fb = meter.take()
 
-    # (a) flat shuffle: 4x the state, same probe -> same bytes (2x /
-    # +512KB slack for partition-placement noise; the O(history) code
-    # fails this by the state-growth factor). early > 0 guards the
-    # meter itself: a probe batch always shuffles (windows, CC aggs)
+    # (a)+(b) flat shuffle: 4x the state, same probe -> same bytes (2x
+    # / +512KB slack for partition-placement noise; the O(history)
+    # code fails this by the state-growth factor). early > 0 guards
+    # the meter itself: a probe batch always shuffles (windows, CC
+    # aggs; the fallback additionally exchanges the batch's key sets)
     assert early > 0, "shuffle meter read nothing — event-log layout?"
     assert late <= max(2.0 * early, early + 512 * 1024), (early, late)
+    assert early_fb > 0
+    assert late_fb <= max(2.0 * early_fb, early_fb + 512 * 1024), \
+        (early_fb, late_fb)
 
-    # (b) write volume O(touched clusters): the last batch's label
+    # (c) write volume O(touched clusters): the last batch's label
     # delta is just its own 50 docs (+ nothing: no true dups planted)
     delta = cat.read("stream_labels")
     last_b = delta.agg(F.max("bseq")).first()[0]
     appended = delta.where(F.col("bseq") == last_b).count()
     assert appended <= 55, appended
-    assert read_stream_labels(cat).count() == 2100
+    assert read_stream_labels(cat).count() == 2200
 
 
 def test_incremental_shuffled_fallback_matches(spark, split_corpus,

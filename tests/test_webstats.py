@@ -1,0 +1,118 @@
+"""Web-corpus filter battery (SURVEY.md §2.0c X19–X22) unit pins.
+
+The driver cross-check (pii_stats / domain_stats / vocab_topk /
+repetition keys) already compares full outputs against independently
+written DuckDB twins at sf0.01; these tests pin hand-computed values
+on crafted rows — the cases where a shared bug in both dialect twins
+could hide (regex ordering, tie-breaks, transform arity).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from miekki.webstats import (domain_stats, host_col, pii_stats,
+                             repetition_columns, vocab_topk)
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    rows = [
+        (1, "write to alice.smith+x@mail.example.org today"),
+        (2, "hosts 10.0.0.1 and 192.168.255.254 up"),
+        (3, "call (415) 555-0100 or 415 555 0199"),
+        (4, "no pii here at all"),
+        # the ordering trap: the email's host contains a dotted token;
+        # emails must be redacted whole before the ipv4/phone passes
+        (5, "mail me at bob@10.1.2.3.example.com thanks"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pii_counts(spark, pii_df):
+    out = {r["doc_id"]: r for r in pii_stats(pii_df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (1, 0, 0)
+    assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_phones"]) == (0, 2, 0)
+    assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["n_phones"]) == (0, 0, 2)
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (0, 0, 0)
+
+
+def test_pii_redaction_order(spark, pii_df):
+    out = {r["doc_id"]: r["redacted"] for r in pii_stats(pii_df).collect()}
+    assert out[1] == "write to <EMAIL> today"
+    assert out[2] == "hosts <IP> and <IP> up"
+    assert out[3] == "call <PHONE> or <PHONE>"
+    assert out[4] == "no pii here at all"
+    # email swallowed whole — no residual <IP> inside it
+    assert out[5] == "mail me at <EMAIL> thanks"
+
+
+def test_host_col(spark):
+    rows = [(1, "https://WWW.Example.COM:8080/a?b=c"),
+            (2, "http://sub.example.org/x"),
+            (3, "relative/path/only"),
+            (4, "https://www.www.example.net/")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {r["doc_id"]: r["h"]
+           for r in df.select("doc_id", host_col("url").alias("h")).collect()}
+    assert out[1] == "example.com"
+    assert out[2] == "sub.example.org"
+    assert out[3] == ""          # non-absolute → empty host
+    assert out[4] == "www.example.net"  # only ONE leading www. dropped
+
+
+def test_domain_stats_rollup(spark):
+    rows = [("https://a.example.com/1", 10),
+            ("https://www.a.example.com/2", 20),
+            ("https://b.example.org/", 5)]
+    df = spark.createDataFrame(rows, ["url", "n_chars"])
+    out = {r["host"]: r for r in
+           domain_stats(df, chars_col="n_chars",
+                        blocklist=("b.example.org",)).collect()}
+    assert out["a.example.com"]["n_docs"] == 2
+    assert out["a.example.com"]["sum_chars"] == 30
+    assert not out["a.example.com"]["blocked"]
+    assert out["b.example.org"]["blocked"]
+
+
+def test_vocab_topk_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b a b c"), (2, "c a  d")], ["doc_id", "norm"])
+    got = [(r["token"], r["n"]) for r in vocab_topk(df, k=3).collect()]
+    # counts: a=2 b=2 c=2 d=1; ties break token-ASC so top-3 is a,b,c
+    assert got == [("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_repetition_known_values(spark):
+    """Regression for the F.transform arity bug: a defaulted n=n
+    capture made PySpark pass the array INDEX as n, so every doc
+    scored 0.0. These are hand-computed fractions."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "w"), (4, "p p p p")],
+        ["doc_id", "norm"])
+    cols = repetition_columns("norm")
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+             .collect()}
+    # doc 1 2-grams: [a b, b a, a b, b a] → 2 dup of 4
+    assert out[1]["dup2gram_frac"] == pytest.approx(0.5)
+    # doc 1 3-grams: [a b a, b a b, a b a] → 1 dup of 3
+    assert out[1]["dup3gram_frac"] == pytest.approx(0.3333)
+    assert out[2]["dup2gram_frac"] == 0.0
+    assert out[3]["dup2gram_frac"] == 0.0  # single word: 1 degenerate gram
+    assert out[4]["dup2gram_frac"] == pytest.approx(0.6667)
+    assert out[4]["dup3gram_frac"] == pytest.approx(0.5)
+
+
+def test_pii_and_repetition_stay_map_only(spark):
+    """Whole battery minus the aggs compiles to a single map-only
+    projection — no Exchange in the plan (the 100 TB contract in the
+    module docstring)."""
+    from miekki.webstats import pii_columns, redact_pii_col
+
+    df = spark.createDataFrame([(1, "a b a b", "https://x.example.com/")],
+                               ["doc_id", "text", "url"])
+    every = {**pii_columns("text"), "redacted": redact_pii_col("text"),
+             "host": host_col("url"), **repetition_columns("text")}
+    plan = (df.select("doc_id", *[c.alias(n) for n, c in every.items()])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
