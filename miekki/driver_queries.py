@@ -760,6 +760,52 @@ def q_repetition(spark, sf_dir):
         "doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
+# line-ified text for the line_dedup cross-check: the fixture text is
+# single-line, so both dialects deterministically (a) prepend shared
+# boilerplate lines on doc_id residues (the hot lines the operator
+# exists to strip) and (b) fold the body into 6-word lines. Spark's
+# slice(arr, start, LEN) vs DuckDB's list_slice(arr, begin, END) is
+# the one real dialect trap here.
+_LINE_TEXT_SPARK = (
+    "concat("
+    " case when pmod(doc_id, 2) = 0 then"
+    "  concat('all rights reserved example site', chr(10))"
+    "  else '' end,"
+    " case when pmod(doc_id, 3) = 0 then"
+    "  concat('subscribe to our newsletter today', chr(10))"
+    "  else '' end,"
+    " array_join(transform("
+    "  sequence(1, greatest(1,"
+    "   cast(ceil(size(split(text, ' ')) / 6.0) as int))),"
+    "  i -> array_join(slice(split(text, ' '), (i-1)*6 + 1, 6), ' ')),"
+    "  chr(10)))")
+
+_LINE_TEXT_DUCK = (
+    "CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN"
+    " 'all rights reserved example site' || chr(10) ELSE '' END ||"
+    " CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN"
+    " 'subscribe to our newsletter today' || chr(10) ELSE '' END ||"
+    " array_to_string(list_transform("
+    " generate_series(1, greatest(1,"
+    "  CAST(ceil(len(str_split(text, ' ')) / 6.0) AS INT))),"
+    " i -> array_to_string(list_slice(str_split(text, ' '),"
+    "  (i-1)*6 + 1, (i-1)*6 + 6), ' ')), chr(10))")
+
+
+def q_line_dedup(spark, sf_dir):
+    """X23: corpus-wide keep-first line dedup (boilerplate removal)
+    over deterministically line-ified docs. Full per-row DuckDB value
+    twin (cleaned text AND kept-line counts); the twin picks winners
+    with QUALIFY row_number — an independent formulation of the same
+    keep-first rule the Spark side computes skew-free via min(struct)
+    partial aggregation."""
+    from miekki.webstats import line_dedup
+
+    return line_dedup(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_LINE_TEXT_SPARK).alias("text")))
+
+
 def _emb(spark, sf_dir):
     return _t(spark, sf_dir, "embeddings")
 
@@ -1042,6 +1088,7 @@ QUERIES: dict[str, Callable] = {
     "domain_stats": q_domain_stats,
     "vocab_topk": q_vocab_topk,
     "repetition": q_repetition,
+    "line_dedup": q_line_dedup,
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
@@ -1281,8 +1328,9 @@ ORACLE_SQL: dict[str, str] = {
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
-    from miekki.webstats import (domain_stats_duck_sql, pii_duck_cols,
-                                 repetition_duck_cols, vocab_topk_duck_sql)
+    from miekki.webstats import (domain_stats_duck_sql, line_dedup_duck_sql,
+                                 pii_duck_cols, repetition_duck_cols,
+                                 vocab_topk_duck_sql)
 
     return {
         "url_canon": (
@@ -1300,6 +1348,8 @@ def _extras_oracle_sql() -> dict[str, str]:
         "repetition": (
             f"SELECT doc_id, {repetition_duck_cols('norm')}"
             f" FROM ({_NORM_CTE})"),
+        "line_dedup": line_dedup_duck_sql(
+            f"(SELECT doc_id, {_LINE_TEXT_DUCK} AS text FROM documents)"),
         "lang_id": (f"SELECT doc_id, {lang_id_duck_sql('norm')} AS pred_lang"
                     f" FROM ({_NORM_CTE})"),
         "quality_score": (f"SELECT doc_id, {quality_duck_cols('norm')}"

@@ -35,6 +35,16 @@ TakeOrderedAndProject — per-partition heaps, never a global sort.
 Ties at the boundary are broken by token ASC in both engines so the
 result SET is deterministic.
 
+X23 — line-level dedup (CCNet/C4-style boilerplate removal): keep
+the FIRST corpus-wide occurrence of every distinct line, drop the
+rest — nav bars, cookie banners, copyright footers vanish from all
+but one doc. Two skew-free shuffles at any scale: (1) winner per
+distinct line is min(struct(doc_id, idx)) — an associative agg, so
+a line shared by 10^9 pages collapses to one row per map partition
+before the exchange (never a row_number window over a hot line);
+the winners ARE the surviving rows, no join-back; (2) reassembly
+groups by doc_id (skew bounded by document length).
+
 X22 — repetition scores (Gopher-style, Rae et al. 2021 §A1.1):
 fraction of duplicate word n-grams per document (n = 2, 3), the
 classic boilerplate/spam signal. Per-row array ops only (split →
@@ -228,6 +238,70 @@ def repetition_columns(norm_col, ns: tuple[int, ...] = (2, 3)) \
         frac = (total - F.size(F.array_distinct(grams))) / total
         out[f"dup{n}gram_frac"] = F.round(frac, 4)
     return out
+
+
+# =====================================================================
+# X23 — line-level dedup (boilerplate removal)
+# =====================================================================
+
+def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide keep-first line dedup → (doc_id, clean_text,
+    n_lines, n_kept). A line survives iff this (doc_id, line-index)
+    is the minimum occurrence of that exact line in the corpus;
+    clean_text is the surviving lines re-joined in original order
+    ('' when every line was seen earlier elsewhere).
+
+    Both shuffles are hot-line-safe (module docstring): min(struct)
+    partial-aggregates map-side, and the winner SET needs no join
+    back against the exploded lines.
+    """
+    docs2 = docs.select(
+        "doc_id", F.col(text_col).alias("text"),
+        F.size(F.split(text_col, "\n")).alias("n_lines"))
+    lines = docs2.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("idx", "line"))
+    winners = (lines
+               .groupBy("line")
+               .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
+               .select(F.col("w.doc_id").alias("doc_id"),
+                       F.col("w.idx").alias("idx"), "line"))
+    kept = (winners.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                         lambda s: s["line"]),
+                     "\n").alias("clean_text")))
+    return (docs2.join(kept, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("n_lines").cast("bigint").alias("n_lines"),
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                    .alias("n_kept")))
+
+
+def line_dedup_duck_sql(src: str) -> str:
+    """DuckDB twin over ``src`` (subquery/CTE with doc_id, text):
+    QUALIFY row_number keeps the (doc_id, idx)-minimal occurrence —
+    an independent formulation of the same keep-first rule."""
+    return f"""
+WITH d AS (SELECT doc_id, text,
+                  CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines
+           FROM {src}),
+     lines AS (SELECT doc_id, n_lines,
+                      generate_subscripts(str_split(text, chr(10)), 1) AS idx,
+                      unnest(str_split(text, chr(10))) AS line
+               FROM d),
+     surv AS (SELECT doc_id, idx, line FROM lines
+              QUALIFY row_number() OVER (PARTITION BY line
+                                         ORDER BY doc_id, idx) = 1),
+     kept AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY idx) AS clean_text
+              FROM surv GROUP BY doc_id)
+SELECT d.doc_id, coalesce(kept.clean_text, '') AS clean_text,
+       d.n_lines, coalesce(kept.n_kept, 0) AS n_kept
+FROM d LEFT JOIN kept USING (doc_id)"""
 
 
 def repetition_duck_cols(expr: str, ns: tuple[int, ...] = (2, 3)) -> str:

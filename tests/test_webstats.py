@@ -10,7 +10,7 @@ could hide (regex ordering, tie-breaks, transform arity).
 import pytest
 from pyspark.sql import functions as F
 
-from miekki.webstats import (domain_stats, host_col, pii_stats,
+from miekki.webstats import (domain_stats, host_col, line_dedup, pii_stats,
                              repetition_columns, vocab_topk)
 
 
@@ -101,6 +101,35 @@ def test_repetition_known_values(spark):
     assert out[3]["dup2gram_frac"] == 0.0  # single word: 1 degenerate gram
     assert out[4]["dup2gram_frac"] == pytest.approx(0.6667)
     assert out[4]["dup3gram_frac"] == pytest.approx(0.5)
+
+
+def test_line_dedup_keep_first(spark):
+    rows = [
+        (1, "nav bar\nunique one\nfooter"),
+        (2, "nav bar\nunique two\nfooter\nnav bar"),
+        (3, "nav bar\nfooter"),          # nothing survives
+        (4, "unique one\nbrand new"),    # 'unique one' lost to doc 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["clean_text"] == "nav bar\nunique one\nfooter"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["clean_text"] == "unique two"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (4, 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (2, 0)
+    assert out[4]["clean_text"] == "brand new"
+
+
+def test_line_dedup_hot_line_skew_free(spark):
+    """Winner selection must be an associative min-aggregate (map-side
+    partials), NEVER a row_number window over the line key — a
+    billion-page boilerplate line would serialize one reducer. Plan
+    must show partial aggregation and no Window."""
+    df = spark.createDataFrame([(1, "a\nb")], ["doc_id", "text"])
+    plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial" in plan.lower()
 
 
 def test_pii_and_repetition_stay_map_only(spark):
