@@ -792,6 +792,21 @@ _LINE_TEXT_DUCK = (
     "  (i-1)*6 + 1, (i-1)*6 + 6), ' ')), chr(10))")
 
 
+def q_filter_battery(spark, sf_dir):
+    """X24: composed keep/drop decision + reason codes (quality shape,
+    language allowlist, PII budget on the planted-PII raw text,
+    repetition ceiling). One map-only projection; full per-row DuckDB
+    value twin on (keep, reasons)."""
+    from miekki.stages.normalize import norm_text_col
+    from miekki.webstats import filter_battery
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", norm_text_col("text").alias("norm"),
+                    F.expr(_PII_TEXT_SPARK).alias("ptext")))
+    return filter_battery(docs, norm_col="norm", pii_text_col="ptext",
+                          allowed_langs=("en",))
+
+
 def q_line_dedup(spark, sf_dir):
     """X23: corpus-wide keep-first line dedup (boilerplate removal)
     over deterministically line-ified docs. Full per-row DuckDB value
@@ -1089,6 +1104,7 @@ QUERIES: dict[str, Callable] = {
     "vocab_topk": q_vocab_topk,
     "repetition": q_repetition,
     "line_dedup": q_line_dedup,
+    "filter_battery": q_filter_battery,
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
@@ -1328,9 +1344,10 @@ ORACLE_SQL: dict[str, str] = {
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
-    from miekki.webstats import (domain_stats_duck_sql, line_dedup_duck_sql,
-                                 pii_duck_cols, repetition_duck_cols,
-                                 vocab_topk_duck_sql)
+    from miekki.webstats import (domain_stats_duck_sql,
+                                 filter_battery_duck_sql,
+                                 line_dedup_duck_sql, pii_duck_cols,
+                                 repetition_duck_cols, vocab_topk_duck_sql)
 
     return {
         "url_canon": (
@@ -1350,6 +1367,10 @@ def _extras_oracle_sql() -> dict[str, str]:
             f" FROM ({_NORM_CTE})"),
         "line_dedup": line_dedup_duck_sql(
             f"(SELECT doc_id, {_LINE_TEXT_DUCK} AS text FROM documents)"),
+        "filter_battery": filter_battery_duck_sql(
+            f"(SELECT doc_id, {_NORM_DUCK} AS norm,"
+            f" {_PII_TEXT_DUCK} AS ptext FROM documents)",
+            norm_expr="norm", pii_expr="ptext", allowed_langs=("en",)),
         "lang_id": (f"SELECT doc_id, {lang_id_duck_sql('norm')} AS pred_lang"
                     f" FROM ({_NORM_CTE})"),
         "quality_score": (f"SELECT doc_id, {quality_duck_cols('norm')}"

@@ -45,6 +45,13 @@ before the exchange (never a row_number window over a hot line);
 the winners ARE the surviving rows, no join-back; (2) reassembly
 groups by doc_id (skew bounded by document length).
 
+X24 — filter battery: the composed keep/drop decision a training
+pipeline actually ships — quality shape (Gopher thresholds), language
+allowlist, PII budget, repetition ceiling — with machine-readable
+reason codes per dropped doc (the RefinedWeb/Dolma tagger pattern:
+never discard silently, tag WHY). Pure composition of the X3/X4/X19/
+X22 columns, so it stays one map-only codegen'd projection.
+
 X22 — repetition scores (Gopher-style, Rae et al. 2021 §A1.1):
 fraction of duplicate word n-grams per document (n = 2, 3), the
 classic boilerplate/spam signal. Per-row array ops only (split →
@@ -238,6 +245,82 @@ def repetition_columns(norm_col, ns: tuple[int, ...] = (2, 3)) \
         frac = (total - F.size(F.array_distinct(grams))) / total
         out[f"dup{n}gram_frac"] = F.round(frac, 4)
     return out
+
+
+# =====================================================================
+# X24 — filter battery (keep/drop + reason codes)
+# =====================================================================
+
+# thresholds shared by both dialects; conditions evaluate over the
+# ROUNDED ratio columns (quality_columns / quality_duck_cols round to
+# 4) so borderline docs can't flip between engines on float formatting
+BATTERY_MAX_DUP2 = 0.2
+BATTERY_MAX_DUP3 = 0.18
+
+
+def filter_battery(docs: DataFrame, norm_col: str = "norm",
+                   pii_text_col: str | None = None,
+                   allowed_langs: tuple[str, ...] = ("en",)) -> DataFrame:
+    """Composed corpus filter → (doc_id, keep, reasons). `reasons` is
+    a comma-joined, fixed-order list of the checks that failed
+    ('' when keep). PII is counted on ``pii_text_col`` (raw text —
+    normalization may mangle addresses) when given, else on the norm
+    column. One map-only projection; concat_ws skips the nulls of
+    passing checks in both engines."""
+    from miekki.textstats import predict_lang, quality_columns
+
+    q = quality_columns(norm_col)
+    quality_ok = ((q["n_ws_tokens"] >= 5) & (q["n_chars"] >= 30)
+                  & (q["mean_tok_len"] >= 2) & (q["mean_tok_len"] <= 12)
+                  & (q["digit_ratio"] <= 0.3))
+    lang_ok = predict_lang(norm_col).isin(*allowed_langs)
+    p = pii_columns(pii_text_col if pii_text_col is not None else norm_col)
+    pii_ok = (p["n_emails"] + p["n_ipv4"] + p["n_phones"]) == 0
+    r = repetition_columns(norm_col)
+    rep_ok = ((r["dup2gram_frac"] <= BATTERY_MAX_DUP2)
+              & (r["dup3gram_frac"] <= BATTERY_MAX_DUP3))
+
+    checks = [("quality", quality_ok), ("lang", lang_ok),
+              ("pii", pii_ok), ("repetition", rep_ok)]
+    keep = checks[0][1]
+    for _, c in checks[1:]:
+        keep = keep & c
+    reasons = F.concat_ws(
+        ",", *[F.when(~c, F.lit(name)) for name, c in checks])
+    return docs.select("doc_id", keep.alias("keep"),
+                       reasons.alias("reasons"))
+
+
+def filter_battery_duck_sql(src: str, norm_expr: str = "norm",
+                            pii_expr: str | None = None,
+                            allowed_langs: tuple[str, ...] = ("en",)) -> str:
+    """DuckDB twin over ``src`` (subquery/CTE providing doc_id and the
+    referenced text columns)."""
+    from miekki.textstats import lang_id_duck_sql, quality_duck_cols
+
+    pii = pii_expr if pii_expr is not None else norm_expr
+    inner = (f"SELECT doc_id, {quality_duck_cols(norm_expr)},"
+             f" {lang_id_duck_sql(norm_expr)} AS pred_lang,"
+             f" {pii_duck_cols(pii)},"
+             f" {repetition_duck_cols(norm_expr)}"
+             f" FROM {src}")
+    langs = ", ".join("'" + lg.replace("'", "''") + "'"
+                      for lg in allowed_langs)
+    conds = {
+        "quality": ("(n_ws_tokens >= 5 AND n_chars >= 30 AND"
+                    " mean_tok_len >= 2 AND mean_tok_len <= 12 AND"
+                    " digit_ratio <= 0.3)"),
+        "lang": f"pred_lang IN ({langs})",
+        "pii": "(n_emails + n_ipv4 + n_phones) = 0",
+        "repetition": (f"(dup2gram_frac <= {BATTERY_MAX_DUP2} AND"
+                       f" dup3gram_frac <= {BATTERY_MAX_DUP3})"),
+    }
+    keep = " AND ".join(conds.values())
+    reasons = ", ".join(
+        f"CASE WHEN NOT {c} THEN '{name}' END" for name, c in conds.items())
+    return (f"SELECT doc_id, ({keep}) AS keep,"
+            f" concat_ws(',', {reasons}) AS reasons"
+            f" FROM ({inner})")
 
 
 # =====================================================================

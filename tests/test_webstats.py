@@ -132,6 +132,71 @@ def test_line_dedup_hot_line_skew_free(spark):
     assert "partial_min" in plan or "partial" in plan.lower()
 
 
+def test_filter_battery_reason_codes(spark):
+    """Keep/drop + reason codes, hand-computed. Reasons must come out
+    in the fixed check order (quality,lang,pii,repetition) regardless
+    of how many fire, and '' (never NULL) for kept docs."""
+    from miekki.webstats import filter_battery
+
+    rows = [
+        # passes everything: enough tokens/chars, english stopwords,
+        # no pii, no repeated n-grams
+        (1, "the quick brown fox jumps over the lazy dog and it was "
+            "here that they all sat down for a while",
+            "clean text"),
+        # too short (3 tokens) but carries an english stopword → only
+        # the quality check fires
+        (2, "in the end", "no pii"),
+        # quality-passing but no english stopword signal → lang
+        (3, "zzz qqq vvv kkk www yyy mmm nnn ppp rrr sss ttt uuu "
+            "xxx aaa bbb ccc ddd eee fff ggg hhh iii jjj",
+            "no pii"),
+        # english + quality ok, pii planted in the raw column
+        (4, "the quick brown fox jumps over the lazy dog and it was "
+            "here that they all sat down for a while",
+            "mail bob@mail.example.org"),
+        # english + quality ok, heavy 2/3-gram repetition
+        (5, "the cat sat the cat sat the cat sat the cat sat the cat "
+            "sat the cat sat the cat sat the cat sat the cat sat",
+            "no pii"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "norm", "ptext"])
+    out = {r["doc_id"]: r for r in
+           filter_battery(df, norm_col="norm", pii_text_col="ptext",
+                          allowed_langs=("en",)).collect()}
+    assert (out[1]["keep"], out[1]["reasons"]) == (True, "")
+    assert (out[2]["keep"], out[2]["reasons"]) == (False, "quality")
+    assert (out[3]["keep"], out[3]["reasons"]) == (False, "lang")
+    assert (out[4]["keep"], out[4]["reasons"]) == (False, "pii")
+    assert (out[5]["keep"], out[5]["reasons"]) == (False, "repetition")
+
+
+def test_filter_battery_multi_reason_order(spark):
+    """A doc failing several checks lists them comma-joined in the
+    canonical order, not alphabetical / evaluation-dependent."""
+    from miekki.webstats import filter_battery
+
+    df = spark.createDataFrame(
+        [(1, "zz 11", "bob@mail.example.org 10.0.0.1")],
+        ["doc_id", "norm", "ptext"])
+    row = filter_battery(df, norm_col="norm", pii_text_col="ptext",
+                         allowed_langs=("en",)).collect()[0]
+    assert row["keep"] is False
+    assert row["reasons"] == "quality,lang,pii"
+
+
+def test_filter_battery_map_only(spark):
+    """The composed battery is one codegen'd projection — no Exchange
+    (100 TB contract: filtering a crawl must not shuffle)."""
+    from miekki.webstats import filter_battery
+
+    df = spark.createDataFrame([(1, "a b", "x")],
+                               ["doc_id", "norm", "ptext"])
+    plan = (filter_battery(df, norm_col="norm", pii_text_col="ptext")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
 def test_pii_and_repetition_stay_map_only(spark):
     """Whole battery minus the aggs compiles to a single map-only
     projection — no Exchange in the plan (the 100 TB contract in the
