@@ -807,6 +807,20 @@ def q_filter_battery(spark, sf_dir):
                           allowed_langs=("en",))
 
 
+def q_domain_cap(spark, sf_dir):
+    """X25: per-domain cap sampling (k=10) over the synthesized messy
+    URLs — skew-free two-level top-k selection. Uses the portable
+    multiplicative rank so DuckDB recomputes full per-row values;
+    production default is xxhash64(doc_id)."""
+    from miekki.webstats import domain_cap
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.expr(_MESSY_URL_SPARK).alias("url")))
+    return domain_cap(
+        docs, k=10,
+        rank_col=F.expr("pmod(doc_id * 2654435761, 9973)"), salts=8)
+
+
 def q_line_dedup(spark, sf_dir):
     """X23: corpus-wide keep-first line dedup (boilerplate removal)
     over deterministically line-ified docs. Full per-row DuckDB value
@@ -1105,6 +1119,7 @@ QUERIES: dict[str, Callable] = {
     "repetition": q_repetition,
     "line_dedup": q_line_dedup,
     "filter_battery": q_filter_battery,
+    "domain_cap": q_domain_cap,
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
@@ -1344,7 +1359,8 @@ ORACLE_SQL: dict[str, str] = {
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
-    from miekki.webstats import (domain_stats_duck_sql,
+    from miekki.webstats import (domain_cap_duck_sql,
+                                 domain_stats_duck_sql,
                                  filter_battery_duck_sql,
                                  line_dedup_duck_sql, pii_duck_cols,
                                  repetition_duck_cols, vocab_topk_duck_sql)
@@ -1367,6 +1383,9 @@ def _extras_oracle_sql() -> dict[str, str]:
             f" FROM ({_NORM_CTE})"),
         "line_dedup": line_dedup_duck_sql(
             f"(SELECT doc_id, {_LINE_TEXT_DUCK} AS text FROM documents)"),
+        "domain_cap": domain_cap_duck_sql(
+            f"(SELECT doc_id, {_MESSY_URL_DUCK} AS url FROM documents)",
+            "url", "((doc_id * 2654435761) % 9973 + 9973) % 9973", k=10),
         "filter_battery": filter_battery_duck_sql(
             f"(SELECT doc_id, {_NORM_DUCK} AS norm,"
             f" {_PII_TEXT_DUCK} AS ptext FROM documents)",

@@ -400,3 +400,66 @@ def repetition_duck_cols(expr: str, ns: tuple[int, ...] = (2, 3)) -> str:
             f" / CAST(length({grams}) AS DOUBLE), 4)"
             f" AS dup{n}gram_frac")
     return ", ".join(parts)
+
+
+# =====================================================================
+# X25 — per-domain cap sampling
+# =====================================================================
+
+DOMAIN_CAP_SALTS = 64
+
+
+def domain_cap(docs: DataFrame, k: int = 100, url_col: str = "url",
+               rank_col: Column | None = None,
+               salts: int = DOMAIN_CAP_SALTS) -> DataFrame:
+    """Keep at most ``k`` docs per registrable host, selected
+    deterministically by a uniform rank (default xxhash64(doc_id) —
+    a reproducible 'random' sample; pass ``rank_col`` for a
+    dialect-portable rank or quality-ordered selection). Returns
+    (doc_id, host, rn) for the survivors, rn in 1..k.
+
+    The naive plan — row_number() over (partition by host) — puts a
+    whole domain in ONE task: a crawl is Zipfian in hosts, so the
+    biggest domain (10^8-10^9 pages) serializes the stage. This is
+    the same hot-key shape as LSH mega-buckets (stages/lsh.py), and
+    the same fix applies — two-level selection:
+
+      level 1: row_number over (host, pmod(rank, salts)) — group
+               size is bounded by |host|/salts; keep rank <= k.
+      level 2: row_number over host alone, but over at most
+               k*salts pre-filtered rows per host.
+
+    Exact, not approximate: a row among the k rank-smallest of its
+    host is among the k smallest of ANY subset containing it, so
+    level 1 never discards a level-2 winner. Both levels stream
+    through WindowExec one bounded group at a time; survivors of
+    level 1 are ~k*salts rows per host, so the level-2 exchange
+    carries O(hosts * k * salts), independent of corpus size."""
+    from pyspark.sql import Window
+
+    rk = rank_col if rank_col is not None else F.xxhash64(F.col("doc_id"))
+    base = docs.select("doc_id", host_col(url_col).alias("host"),
+                       rk.alias("rk"))
+    w1 = (Window.partitionBy("host", F.pmod(F.col("rk"), F.lit(salts)))
+          .orderBy("rk", "doc_id"))
+    lvl1 = (base.withColumn("rn1", F.row_number().over(w1))
+            .where(F.col("rn1") <= k))
+    w2 = Window.partitionBy("host").orderBy("rk", "doc_id")
+    return (lvl1.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= k)
+            .select("doc_id", "host", F.col("rn").cast("int").alias("rn")))
+
+
+def domain_cap_duck_sql(src: str, url_expr: str, rank_expr: str,
+                        k: int = 100) -> str:
+    """DuckDB twin: single-level row_number per host (the oracle does
+    not need the skew decomposition) over the same (rank, doc_id)
+    order. ``src`` provides doc_id and the url column."""
+    hp = f"lower(regexp_extract({url_expr}, '{HOSTPORT_RE}', 1))"
+    host = (f"regexp_replace(regexp_replace({hp}, ':[0-9]+$', ''),"
+            f" '^www\\.', '')")
+    return (f"SELECT doc_id, host, CAST(rn AS INT) AS rn FROM ("
+            f"SELECT doc_id, host, row_number() OVER ("
+            f"PARTITION BY host ORDER BY rk, doc_id) AS rn FROM ("
+            f"SELECT doc_id, {host} AS host, {rank_expr} AS rk"
+            f" FROM {src})) WHERE rn <= {k}")

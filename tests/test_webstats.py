@@ -197,7 +197,41 @@ def test_filter_battery_map_only(spark):
     assert "Exchange" not in plan
 
 
-def test_pii_and_repetition_stay_map_only(spark):
+def test_domain_cap_exact_selection(spark):
+    """Two-level (salted) selection must equal the single-level
+    definition: per host, the k rank-smallest docs, rn dense 1..k.
+    Ranks crafted so winners land in DIFFERENT salt groups."""
+    from miekki.webstats import domain_cap
+
+    rows = [(d, f"https://big.example.com/{d}") for d in range(1, 21)]
+    rows += [(100 + d, f"https://small.example.org/{d}") for d in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    # rank = doc_id so selection is predictable; salts=4 spreads
+    # doc_ids 1..4 (the winners) across all four level-1 groups
+    out = domain_cap(df, k=4, rank_col=F.col("doc_id"), salts=4).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append((r["rn"], r["doc_id"]))
+    assert sorted(by_host["big.example.com"]) == [
+        (1, 1), (2, 2), (3, 3), (4, 4)]
+    # under-cap host: everything survives, rn dense
+    assert sorted(by_host["small.example.org"]) == [
+        (1, 100), (2, 101), (3, 102)]
+
+
+def test_domain_cap_salted_plan(spark):
+    """Level-1 window must partition by (host, salt) — the skew
+    decomposition — and level 2 runs over pre-filtered rows only:
+    the plan has two Window nodes and a pmod in the first partition
+    spec."""
+    from miekki.webstats import domain_cap
+
+    df = spark.createDataFrame([(1, "https://a.example.com/")],
+                               ["doc_id", "url"])
+    plan = (domain_cap(df, k=2)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert plan.count("Window") >= 2
+    assert "pmod" in plan
     """Whole battery minus the aggs compiles to a single map-only
     projection — no Exchange in the plan (the 100 TB contract in the
     module docstring)."""
