@@ -821,6 +821,19 @@ def q_domain_cap(spark, sf_dir):
         rank_col=F.expr("pmod(doc_id * 2654435761, 9973)"), salts=8)
 
 
+def q_split_assign(spark, sf_dir):
+    """X26: deterministic train/val/test assignment. Portable
+    multiplicative rank (mod SPLIT_BUCKETS) stands in for
+    xxhash64(url) so DuckDB recomputes every row; the CASE chain
+    under test is identical either way."""
+    from miekki.webstats import SPLIT_BUCKETS, split_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rk = F.expr(f"pmod(doc_id * 2654435761, {SPLIT_BUCKETS})")
+    return split_assign(docs, weights=(("train", 0.8), ("val", 0.1),
+                                       ("test", 0.1)), rank_col=rk)
+
+
 def q_line_dedup(spark, sf_dir):
     """X23: corpus-wide keep-first line dedup (boilerplate removal)
     over deterministically line-ified docs. Full per-row DuckDB value
@@ -1120,6 +1133,7 @@ QUERIES: dict[str, Callable] = {
     "line_dedup": q_line_dedup,
     "filter_battery": q_filter_battery,
     "domain_cap": q_domain_cap,
+    "split_assign": q_split_assign,
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
@@ -1359,11 +1373,13 @@ ORACLE_SQL: dict[str, str] = {
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
-    from miekki.webstats import (domain_cap_duck_sql,
+    from miekki.webstats import (SPLIT_BUCKETS, domain_cap_duck_sql,
                                  domain_stats_duck_sql,
                                  filter_battery_duck_sql,
                                  line_dedup_duck_sql, pii_duck_cols,
-                                 repetition_duck_cols, vocab_topk_duck_sql)
+                                 repetition_duck_cols,
+                                 split_assign_duck_sql,
+                                 vocab_topk_duck_sql)
 
     return {
         "url_canon": (
@@ -1386,6 +1402,11 @@ def _extras_oracle_sql() -> dict[str, str]:
         "domain_cap": domain_cap_duck_sql(
             f"(SELECT doc_id, {_MESSY_URL_DUCK} AS url FROM documents)",
             "url", "((doc_id * 2654435761) % 9973 + 9973) % 9973", k=10),
+        "split_assign": split_assign_duck_sql(
+            "documents",
+            f"((doc_id * 2654435761) % {SPLIT_BUCKETS} + {SPLIT_BUCKETS})"
+            f" % {SPLIT_BUCKETS}",
+            weights=(("train", 0.8), ("val", 0.1), ("test", 0.1))),
         "filter_battery": filter_battery_duck_sql(
             f"(SELECT doc_id, {_NORM_DUCK} AS norm,"
             f" {_PII_TEXT_DUCK} AS ptext FROM documents)",

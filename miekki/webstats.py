@@ -463,3 +463,66 @@ def domain_cap_duck_sql(src: str, url_expr: str, rank_expr: str,
             f"PARTITION BY host ORDER BY rk, doc_id) AS rn FROM ("
             f"SELECT doc_id, {host} AS host, {rank_expr} AS rk"
             f" FROM {src})) WHERE rn <= {k}")
+
+
+# =====================================================================
+# X26 — deterministic split assignment (train/val/test)
+# =====================================================================
+
+SPLIT_BUCKETS = 10000
+
+
+def split_assign(docs: DataFrame,
+                 weights: tuple[tuple[str, float], ...] = (
+                     ("train", 0.98), ("val", 0.01), ("test", 0.01)),
+                 key_col: str = "url", buckets: int = SPLIT_BUCKETS,
+                 rank_col: Column | None = None) -> DataFrame:
+    """Assign every doc to a named split by hashing a stable key —
+    the reproducible alternative to rand(): re-running the pipeline,
+    adding docs, or changing partitioning never moves an existing doc
+    between splits (critical for eval hygiene: a val doc that drifts
+    into train silently contaminates every later comparison).
+
+    bucket = pmod(xxhash64(key), buckets); split boundaries are the
+    cumulative weights scaled to ``buckets`` and rounded once, so the
+    realized proportions are exact in expectation and every engine
+    computing the same buckets agrees on every row. Map-only: one
+    codegen'd projection, no shuffle, composes with any downstream
+    groupBy. Pass ``rank_col`` to swap the hash for a
+    dialect-portable rank (driver twin) — the CASE chain is
+    unchanged."""
+    rk = (rank_col if rank_col is not None
+          else F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)))
+    names = [n for n, _ in weights]
+    bounds = _split_bounds(weights, buckets)
+    expr = F.lit(names[-1])
+    for name, hi in reversed(list(zip(names[:-1], bounds[:-1]))):
+        expr = F.when(rk < hi, F.lit(name)).otherwise(expr)
+    return docs.select("doc_id", expr.alias("split"))
+
+
+def _split_bounds(weights, buckets: int) -> list[int]:
+    """Cumulative upper bounds in bucket units; last bound == buckets
+    so the CASE chain is exhaustive regardless of float rounding."""
+    total = sum(w for _, w in weights)
+    bounds, cum = [], 0.0
+    for _, w in weights:
+        cum += w / total
+        bounds.append(int(round(cum * buckets)))
+    bounds[-1] = buckets
+    return bounds
+
+
+def split_assign_duck_sql(src: str, rank_expr: str,
+                          weights: tuple[tuple[str, float], ...] = (
+                              ("train", 0.98), ("val", 0.01),
+                              ("test", 0.01)),
+                          buckets: int = SPLIT_BUCKETS) -> str:
+    """DuckDB twin: identical CASE chain over ``rank_expr``."""
+    names = [n for n, _ in weights]
+    bounds = _split_bounds(weights, buckets)
+    whens = " ".join(
+        f"WHEN rk < {hi} THEN '{name}'"
+        for name, hi in zip(names[:-1], bounds[:-1]))
+    return (f"SELECT doc_id, CASE {whens} ELSE '{names[-1]}' END AS split"
+            f" FROM (SELECT doc_id, {rank_expr} AS rk FROM {src})")

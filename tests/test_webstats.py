@@ -232,6 +232,50 @@ def test_domain_cap_salted_plan(spark):
             .executedPlan().toString())
     assert plan.count("Window") >= 2
     assert "pmod" in plan
+
+
+def test_split_assign_thresholds_and_stability(spark):
+    """Boundary buckets land on the correct side of each cumulative
+    threshold, and assignment is a pure function of the key — adding
+    rows never moves an existing doc between splits."""
+    from miekki.webstats import split_assign
+
+    # rank_col = doc_id directly: buckets 0..9999, bounds 8000/9000
+    rows = [(0,), (7999,), (8000,), (8999,), (9000,), (9999,)]
+    df = spark.createDataFrame(rows, ["doc_id"])
+    out = {r["doc_id"]: r["split"] for r in
+           split_assign(df, weights=(("train", 0.8), ("val", 0.1),
+                                     ("test", 0.1)),
+                        rank_col=F.col("doc_id")).collect()}
+    assert out == {0: "train", 7999: "train", 8000: "val",
+                   8999: "val", 9000: "test", 9999: "test"}
+
+    # stability: the same keys with extra rows present
+    df2 = spark.createDataFrame(rows + [(123,), (4567,)], ["doc_id"])
+    out2 = {r["doc_id"]: r["split"] for r in
+            split_assign(df2, weights=(("train", 0.8), ("val", 0.1),
+                                       ("test", 0.1)),
+                         rank_col=F.col("doc_id")).collect()}
+    assert all(out2[k] == v for k, v in out.items())
+
+
+def test_split_assign_default_hash_map_only(spark):
+    """Default path (xxhash64 of the key col) stays one map-only
+    projection and splits exhaustively (no NULL split)."""
+    from miekki.webstats import split_assign
+
+    df = spark.createDataFrame(
+        [(i, f"https://example.com/{i}") for i in range(200)],
+        ["doc_id", "url"])
+    sa = split_assign(df)
+    plan = sa._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = sa.groupBy("split").count().collect()
+    assert sum(r["count"] for r in got) == 200
+    assert all(r["split"] in ("train", "val", "test") for r in got)
+
+
+def test_pii_and_repetition_stay_map_only(spark):
     """Whole battery minus the aggs compiles to a single map-only
     projection — no Exchange in the plan (the 100 TB contract in the
     module docstring)."""
