@@ -24,6 +24,15 @@ from oracle.xxh64 import spark_xxhash64
 
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
+# warc_ts = EPOCH + base_id*137 s. Widened bench corpora offset ids by
+# rep*10^7 (bench.widen_documents), so beyond mult~146 the product
+# passes year 9999 and datetime overflows. Wrap at 2*10^11 s (~year
+# 8300): every id used by mult <= 96 stays BELOW the wrap, so all
+# cached/previously-measured corpora are bit-identical; only
+# would-have-overflowed ids wrap. Within-family ordering (seed
+# strictly first, +13 s per variant) is unaffected by a per-base wrap.
+TS_WRAP_S = 200_000_000_000
+
 # fixed variant order per family — part of the deterministic call order
 VARIANT_KINDS = ("exact", "near_hi", "near_mid", "near_lo", "reorder", "contain", "chain")
 NEAR_P = {"near_hi": 0.03, "near_mid": 0.08, "near_lo": 0.15}
@@ -77,7 +86,7 @@ def make_corpus(documents: pd.DataFrame, cfg: DedupConfig = DedupConfig(),
     for idx, row in docs.iterrows():
         base_id = int(row.doc_id)
         url = _base_url(base_id, row.source, row.lang)
-        ts = EPOCH + timedelta(seconds=base_id * 137)
+        ts = EPOCH + timedelta(seconds=(base_id * 137) % TS_WRAP_S)
         urls.append(url); tss.append(ts); texts.append(row.text); langs.append(row.lang)
         families.append((url, url))
 
