@@ -73,6 +73,51 @@ def cmd_run(args):
     }))
 
 
+def cmd_filter(args):
+    """Run the web-corpus filter battery (X24) over the catalog's
+    corpus table: writes `filter_verdicts` (doc_id, keep, reasons —
+    the Dolma-style tagger output; nothing is dropped silently) and
+    `corpus_kept` (the surviving corpus rows, a left-semi join
+    against the persisted verdicts so the battery computes once).
+    Map-only except the semi join; reason histogram is a ≤2^4-row
+    aggregate, safe to collect."""
+    from pyspark.sql import functions as F
+
+    from miekki.config import DedupConfig
+    from miekki.exprs import doc_id_sql
+    from miekki.stages.normalize import normalize
+    from miekki.webstats import filter_battery
+
+    spark = _get_spark(args)
+    cat = _get_catalog(spark, args)
+    cfg = DedupConfig()
+    corpus = cat.read(args.corpus)
+    docs = normalize(corpus, cfg)
+    langs = tuple(s for s in args.langs.split(",") if s)
+    verdicts = filter_battery(docs, norm_col="norm_text",
+                              allowed_langs=langs)
+    cat.overwrite("filter_verdicts", verdicts, run_id=args.run_id)
+
+    v = cat.read("filter_verdicts")
+    kept_ids = v.where(F.col("keep")).select("doc_id")
+    kept = (corpus
+            .withColumn("doc_id", F.expr(doc_id_sql("url", cfg)))
+            .join(kept_ids, "doc_id", "left_semi")
+            .drop("doc_id"))
+    cat.overwrite("corpus_kept", kept, run_id=args.run_id)
+
+    hist = {r["reasons"]: r["n"] for r in
+            (v.where(~F.col("keep"))
+             .groupBy("reasons").agg(F.count(F.lit(1)).alias("n"))
+             .collect())}
+    print(json.dumps({
+        "run_id": args.run_id,
+        "n_docs": v.count(),
+        "n_kept": cat.read("corpus_kept").count(),
+        "dropped_by_reason": hist,
+    }))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="miekki")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -94,6 +139,13 @@ def main(argv=None):
     pr.add_argument("--corpus", default="corpus")
     pr.add_argument("--check-invariant", action="store_true")
     pr.set_defaults(fn=cmd_run)
+
+    pf = sub.add_parser("filter", parents=[common])
+    pf.add_argument("--run-id", default="filter0")
+    pf.add_argument("--corpus", default="corpus")
+    pf.add_argument("--langs", default="en",
+                    help="comma-separated language allowlist")
+    pf.set_defaults(fn=cmd_filter)
 
     args = p.parse_args(argv)
     args.fn(args)
