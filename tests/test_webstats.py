@@ -234,6 +234,42 @@ def test_domain_cap_salted_plan(spark):
     assert "pmod" in plan
 
 
+def test_domain_cap_randomized_parity(spark):
+    """Seeded randomized parity vs an independent single-level pandas
+    reference: Zipf-ish host sizes, deliberately COLLIDING ranks (mod
+    13) so the doc_id tie-break is exercised, salts chosen to not
+    divide the rank modulus."""
+    import numpy as np
+    import pandas as pd
+
+    from miekki.webstats import domain_cap
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 600
+    hosts = [f"h{min(int(rng.zipf(1.3)), 9)}.example.com" for _ in range(n)]
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(1, n + 1),
+        "url": [f"https://{h}/{i}" for i, h in enumerate(hosts)],
+        "rk": rng.integers(0, 13, size=n),   # heavy ties
+    })
+    expect = (pdf.sort_values(["rk", "doc_id"])
+              .assign(host=[h[0:0] + h for h in
+                            pdf.sort_values(["rk", "doc_id"])
+                            .url.str.extract(r"https://([^/]+)/")[0]])
+              .groupby("host").head(3))
+    exp_ids = set(expect.doc_id)
+
+    df = spark.createDataFrame(pdf)
+    got = domain_cap(df, k=3, rank_col=F.col("rk"), salts=7).collect()
+    assert {r["doc_id"] for r in got} == exp_ids
+    # rn must equal the single-level rank position
+    rank_map = {}
+    for host, grp in expect.groupby("host"):
+        for pos, d in enumerate(grp.doc_id, start=1):
+            rank_map[d] = pos
+    assert all(rank_map[r["doc_id"]] == r["rn"] for r in got)
+
+
 def test_split_assign_thresholds_and_stability(spark):
     """Boundary buckets land on the correct side of each cumulative
     threshold, and assignment is a pure function of the key — adding
