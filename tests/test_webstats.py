@@ -311,6 +311,29 @@ def test_split_assign_default_hash_map_only(spark):
     assert all(r["split"] in ("train", "val", "test") for r in got)
 
 
+def test_split_bounds_properties():
+    """Pure-python property test: bounds nondecreasing, exhaustive
+    (last == buckets) for arbitrary positive weights — float rounding
+    can never leave an unassigned bucket."""
+    from hypothesis import given, strategies as st
+
+    from miekki.webstats import _split_bounds
+
+    @given(st.lists(st.floats(min_value=1e-6, max_value=1e6,
+                              allow_nan=False, allow_infinity=False),
+                    min_size=1, max_size=8),
+           st.integers(min_value=1, max_value=100000))
+    def check(ws, buckets):
+        weights = tuple((f"s{i}", w) for i, w in enumerate(ws))
+        bounds = _split_bounds(weights, buckets)
+        assert len(bounds) == len(ws)
+        assert bounds[-1] == buckets
+        assert all(0 <= b <= buckets for b in bounds)
+        assert all(a <= b for a, b in zip(bounds, bounds[1:]))
+
+    check()
+
+
 def test_pii_and_repetition_stay_map_only(spark):
     """Whole battery minus the aggs compiles to a single map-only
     projection — no Exchange in the plan (the 100 TB contract in the
