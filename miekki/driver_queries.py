@@ -607,19 +607,19 @@ def q_quality(spark, sf_dir):
     return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
+_W3GRAMS_SPARK = (
+    "array_distinct(transform("
+    " sequence(1, greatest(1, size(split(norm, ' ')) - 2)),"
+    " i -> concat_ws(' ', slice(split(norm, ' '), i, 3))))")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Word-3gram Jaccard between consecutive doc ids — the exact
     n-gram-overlap primitive, deterministically paired so DuckDB can
     verify it (the scale path for unknown pairs is the MinHash
     pipeline)."""
     docs = _norm_docs(spark, sf_dir)
-    g = docs.select(
-        "doc_id",
-        F.expr(
-            "array_distinct(transform("
-            " sequence(1, greatest(1, size(split(norm, ' ')) - 2)),"
-            " i -> concat_ws(' ', slice(split(norm, ' '), i, 3))))"
-        ).alias("grams"))
+    g = docs.select("doc_id", F.expr(_W3GRAMS_SPARK).alias("grams"))
     a = g.select(F.col("doc_id").alias("src"), F.col("grams").alias("ga"))
     b = g.select((F.col("doc_id") - 1).alias("src"), F.col("grams").alias("gb"))
     return (a.join(b, "src")
@@ -846,6 +846,80 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_LINE_TEXT_SPARK).alias("text")))
+
+
+# ---------------------------------------------------------------------
+# X27–X29 tier-dedup operators (miekki/tiers.py)
+# ---------------------------------------------------------------------
+
+def _portable_pair_edges(spark, sf_dir):
+    """Deterministic (src, dst, origin) edge table both dialects can
+    recompute row-for-row: exact star edges from the md5 bucketing,
+    plus adjacent-pair word-3gram Jaccard edges split into a strong
+    ('minhash', j >= 0.5) and a weak ('simhash', 0.2 <= j < 0.5)
+    origin. Production feeds the REAL T4 candidate_edges (origins
+    minhash/simhash/substr from the LSH/SimHash/substring passes)
+    into the same operator."""
+    docs = _norm_docs(spark, sf_dir)
+    w = Window.partitionBy("key")
+    exact = (docs.withColumn("key", F.md5(F.col("norm").cast("binary")))
+             .withColumn("src", F.min("doc_id").over(w))
+             .where(F.col("doc_id") != F.col("src"))
+             .select("src", F.col("doc_id").alias("dst"),
+                     F.lit("exact").alias("origin")))
+    g = docs.select("doc_id", F.expr(_W3GRAMS_SPARK).alias("grams"))
+    a = g.select(F.col("doc_id").alias("src"), F.col("grams").alias("ga"))
+    b = g.select((F.col("doc_id") - 1).alias("src"),
+                 F.col("doc_id").alias("dst"), F.col("grams").alias("gb"))
+    jac = (a.join(b, "src")
+           .select("src", "dst",
+                   F.round(F.size(F.array_intersect("ga", "gb"))
+                           / F.size(F.array_union("ga", "gb")), 4)
+                   .alias("j")))
+    near = (jac.where(F.col("j") >= 0.5)
+            .select("src", "dst", F.lit("minhash").alias("origin")))
+    weak = (jac.where((F.col("j") >= 0.2) & (F.col("j") < 0.5))
+            .select("src", "dst", F.lit("simhash").alias("origin")))
+    return docs, exact.unionByName(near).unionByName(weak)
+
+
+def q_dedup_tiers(spark, sf_dir):
+    """X27: strongest-dup-tier label per doc (exact > substr >
+    minhash > simhash > unique) over the portable edge reconstruction
+    — full per-row DuckDB value twin of the tier operator itself."""
+    from miekki.tiers import tier_labels
+
+    docs, edges = _portable_pair_edges(spark, sf_dir)
+    return tier_labels(docs, edges)
+
+
+def q_cluster_cap(spark, sf_dir):
+    """X28: bounded survivors per dup cluster (k=3) — the soft-dedup
+    middle tier. Clusters are a deterministic 7-consecutive-id
+    grouping so sf0.01 is guaranteed multi-member clusters that
+    actually exercise the cap; production feeds T5 cluster_labels.
+    Portable multiplicative rank so DuckDB recomputes every row."""
+    from miekki.tiers import cluster_cap
+
+    labels = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(7)))
+        .alias("cluster_id"))
+    return cluster_cap(labels, k=3,
+                       rank_col=F.expr("pmod(doc_id * 2654435761, 9973)"),
+                       salts=8)
+
+
+def q_mix_sample(spark, sf_dir):
+    """X29: deterministic per-stratum mixture sampling over the lang
+    column (en halved, fr kept whole, zh decimated, default for the
+    rest) with the portable rank; production uses xxhash64(url)."""
+    from miekki.tiers import MIX_BUCKETS, mix_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rk = F.expr(f"pmod(doc_id * 2654435761, {MIX_BUCKETS})")
+    return mix_sample(docs, rates=(("en", 0.5), ("fr", 1.0), ("zh", 0.05)),
+                      stratum_col="lang", default_rate=0.25, rank_col=rk)
 
 
 def _emb(spark, sf_dir):
@@ -1134,6 +1208,9 @@ QUERIES: dict[str, Callable] = {
     "filter_battery": q_filter_battery,
     "domain_cap": q_domain_cap,
     "split_assign": q_split_assign,
+    "dedup_tiers": q_dedup_tiers,
+    "cluster_cap": q_cluster_cap,
+    "mix_sample": q_mix_sample,
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
@@ -1373,6 +1450,8 @@ ORACLE_SQL: dict[str, str] = {
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
+    from miekki.tiers import (MIX_BUCKETS, cluster_cap_duck_sql,
+                              mix_sample_duck_sql, tier_labels_duck_sql)
     from miekki.webstats import (SPLIT_BUCKETS, domain_cap_duck_sql,
                                  domain_stats_duck_sql,
                                  filter_battery_duck_sql,
@@ -1381,7 +1460,47 @@ def _extras_oracle_sql() -> dict[str, str]:
                                  split_assign_duck_sql,
                                  vocab_topk_duck_sql)
 
+    # portable (src, dst, origin) edges twin for dedup_tiers — the
+    # independent DuckDB formulation of _portable_pair_edges (QUALIFY
+    # picks exact star edges; list_* ops recompute the w3 jaccard)
+    _W3GRAMS_DUCK = (
+        "list_distinct(list_transform("
+        " generate_series(1, greatest(1, length(str_split(norm, ' ')) - 2)),"
+        " i -> array_to_string(list_slice(str_split(norm, ' '), i, i + 2),"
+        " ' ')))")
+    _JAC_PAIRS_DUCK = (
+        f"SELECT a.doc_id AS src, b.doc_id AS dst,"
+        f" round(length(list_intersect(a.grams, b.grams))"
+        f" / CAST(length(list_distinct(a.grams || b.grams)) AS DOUBLE), 4)"
+        f" AS j"
+        f" FROM (SELECT doc_id, {_W3GRAMS_DUCK} AS grams"
+        f" FROM ({_NORM_CTE})) a"
+        f" JOIN (SELECT doc_id, {_W3GRAMS_DUCK} AS grams"
+        f" FROM ({_NORM_CTE})) b ON b.doc_id = a.doc_id + 1")
+    _EDGES_DUCK = (
+        f"(SELECT src, dst, 'exact' AS origin FROM ("
+        f" SELECT min(doc_id) OVER (PARTITION BY md5(norm)) AS src,"
+        f" doc_id AS dst FROM ({_NORM_CTE})) WHERE dst <> src"
+        f" UNION ALL"
+        f" SELECT src, dst, 'minhash' AS origin FROM ({_JAC_PAIRS_DUCK})"
+        f" WHERE j >= 0.5"
+        f" UNION ALL"
+        f" SELECT src, dst, 'simhash' AS origin FROM ({_JAC_PAIRS_DUCK})"
+        f" WHERE j >= 0.2 AND j < 0.5)")
+
     return {
+        "dedup_tiers": tier_labels_duck_sql(
+            "(SELECT doc_id FROM documents)", _EDGES_DUCK),
+        "cluster_cap": cluster_cap_duck_sql(
+            "(SELECT doc_id, doc_id - ((doc_id % 7 + 7) % 7) AS cluster_id"
+            " FROM documents)",
+            "((doc_id * 2654435761) % 9973 + 9973) % 9973", k=3),
+        "mix_sample": mix_sample_duck_sql(
+            "documents",
+            f"((doc_id * 2654435761) % {MIX_BUCKETS} + {MIX_BUCKETS})"
+            f" % {MIX_BUCKETS}",
+            rates=(("en", 0.5), ("fr", 1.0), ("zh", 0.05)),
+            stratum_expr="lang", default_rate=0.25),
         "url_canon": (
             f"SELECT doc_id, {canonical_url_duck(_MESSY_URL_DUCK)}"
             " AS canon_url FROM documents"),

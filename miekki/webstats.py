@@ -434,20 +434,16 @@ def domain_cap(docs: DataFrame, k: int = 100, url_col: str = "url",
     level 1 never discards a level-2 winner. Both levels stream
     through WindowExec one bounded group at a time; survivors of
     level 1 are ~k*salts rows per host, so the level-2 exchange
-    carries O(hosts * k * salts), independent of corpus size."""
-    from pyspark.sql import Window
+    carries O(hosts * k * salts), independent of corpus size.
+    (The two-level selection itself lives in tiers.capped_topk since
+    r4 — the dup-cluster cap X28 reuses it keyed by cluster_id.)"""
+    from miekki.tiers import capped_topk
 
     rk = rank_col if rank_col is not None else F.xxhash64(F.col("doc_id"))
     base = docs.select("doc_id", host_col(url_col).alias("host"),
                        rk.alias("rk"))
-    w1 = (Window.partitionBy("host", F.pmod(F.col("rk"), F.lit(salts)))
-          .orderBy("rk", "doc_id"))
-    lvl1 = (base.withColumn("rn1", F.row_number().over(w1))
-            .where(F.col("rn1") <= k))
-    w2 = Window.partitionBy("host").orderBy("rk", "doc_id")
-    return (lvl1.withColumn("rn", F.row_number().over(w2))
-            .where(F.col("rn") <= k)
-            .select("doc_id", "host", F.col("rn").cast("int").alias("rn")))
+    return (capped_topk(base, "host", k, salts=salts)
+            .select("doc_id", "host", "rn"))
 
 
 def domain_cap_duck_sql(src: str, url_expr: str, rank_expr: str,
