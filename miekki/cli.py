@@ -62,15 +62,24 @@ def cmd_run(args):
     t0 = time.time()
     res = run(spark, cat, cfg, run_id=args.run_id,
               corpus_table=args.corpus,
-              check_invariant=args.check_invariant)
-    print(json.dumps({
+              check_invariant=args.check_invariant,
+              emit_tiers=args.emit_tiers)
+    out = {
         "run_id": args.run_id,
         "n_docs": res["n_docs"],
         "executed": res["executed"],
         "skipped": res["skipped"],
         "wall_sec": round(time.time() - t0, 2),
         "config_hash": cfg.config_hash()[:12],
-    }))
+    }
+    if args.emit_tiers:
+        from pyspark.sql import functions as F
+
+        out["tier_histogram"] = {      # ≤5-row aggregate, safe collect
+            r["tier"]: r["n"] for r in
+            cat.read("doc_tiers").groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(json.dumps(out))
 
 
 def cmd_filter(args):
@@ -138,6 +147,8 @@ def main(argv=None):
     pr.add_argument("--run-id", default="run0")
     pr.add_argument("--corpus", default="corpus")
     pr.add_argument("--check-invariant", action="store_true")
+    pr.add_argument("--emit-tiers", action="store_true",
+                    help="also materialize the X27 doc_tiers table")
     pr.set_defaults(fn=cmd_run)
 
     pf = sub.add_parser("filter", parents=[common])

@@ -71,7 +71,8 @@ def run(spark, catalog, cfg: DedupConfig = DedupConfig(),
         run_id: str = "run0", corpus_table: str = "corpus",
         check_invariant: bool = False,
         use_simhash: bool = True, use_substr: bool = True,
-        collect_metrics: bool = True, n_buckets: int = 32) -> dict:
+        collect_metrics: bool = True, n_buckets: int = 32,
+        emit_tiers: bool = False) -> dict:
     """Durable pipeline: corpus table → checkpointed T1/T2/T4/T5 in
     the catalog with lineage + per-partition metrics (O21–O23).
 
@@ -80,6 +81,10 @@ def run(spark, catalog, cfg: DedupConfig = DedupConfig(),
       signatures     ← docs_norm                   (O5–O7 + n_shingles)
       candidate_edges← signatures [+ docs_norm]    (O8–O14)
       cluster_labels ← candidate_edges + docs_norm (O15–O19)
+      doc_tiers      ← candidate_edges + docs_norm (X27, opt-in:
+                       emit_tiers=True — off by default so the
+                       benchmarked 4-stage job stays comparable
+                       across rounds)
 
     Resume: stage skipped iff a 'done' lineage row matches
     (stage, input_snapshot, config_hash) AND the output table exists;
@@ -145,9 +150,18 @@ def run(spark, catalog, cfg: DedupConfig = DedupConfig(),
     labels = runner.materialize("cluster_labels", "cluster_labels",
                                 build_labels, labels_snap)
 
-    return {
+    out = {
         "labels": labels,
         "executed": runner.executed,
         "skipped": runner.skipped,
         "n_docs": labels.count(),
     }
+    if emit_tiers:
+        from miekki.tiers import pipeline_doc_tiers
+
+        out["tiers"] = runner.materialize(
+            "doc_tiers", "doc_tiers",
+            lambda: pipeline_doc_tiers(
+                docs.select("doc_id", "norm_text"), edges),
+            f"{edges_snap}+{catalog.snapshot_id('candidate_edges')}")
+    return out

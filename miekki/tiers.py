@@ -110,6 +110,33 @@ SELECT d.doc_id,
 FROM {docs_src} d LEFT JOIN best USING (doc_id)"""
 
 
+def pipeline_doc_tiers(docs_norm: DataFrame, edges: DataFrame,
+                       norm_col: str = "norm_text",
+                       priority: tuple[str, ...] = TIER_PRIORITY) -> DataFrame:
+    """Production tier labels from the pipeline's own tables:
+    T1 docs_norm (doc_id, norm_text) + T4 candidate_edges (src, dst,
+    origin ∈ {minhash, simhash, substr}) → (doc_id, tier).
+
+    T4 alone cannot distinguish 'exact' — byte-identical docs have
+    identical signatures, so they surface as minhash edges with
+    weight 1.0 (necessary but not sufficient: distinct texts can
+    collide on all 128 mins). The exact tier therefore gets its own
+    star edges from the md5(norm_text) bucketing: groupBy-min (the
+    partial agg collapses a 10^8-copy boilerplate family map-side)
+    joined back on the key — a join, so AQE's skew split covers the
+    hot family (a window min would buffer it in ONE task) — emitting
+    |family|-1 star edges, never all-pairs."""
+    keyed = docs_norm.select(
+        "doc_id", F.md5(F.col(norm_col).cast("binary")).alias("key"))
+    mins = keyed.groupBy("key").agg(F.min("doc_id").alias("src"))
+    exact = (keyed.join(mins, "key")
+             .where(F.col("doc_id") != F.col("src"))
+             .select("src", F.col("doc_id").alias("dst"),
+                     F.lit("exact").alias("origin")))
+    all_edges = edges.select("src", "dst", "origin").unionByName(exact)
+    return tier_labels(docs_norm, all_edges, priority=priority)
+
+
 # =====================================================================
 # X28 — cluster cap (bounded survivors per dup cluster)
 # =====================================================================

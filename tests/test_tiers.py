@@ -97,6 +97,41 @@ def test_mix_sample_rates_and_determinism(spark):
     assert m1 == m2
 
 
+def test_pipeline_doc_tiers_stage(spark, corpus_df, tmp_path):
+    """run(emit_tiers=True) materializes a doc_tiers table consistent
+    with the run's own labels: tier != unique exactly for docs whose
+    cluster has >1 member (every such doc is an edge endpoint), and
+    every md5-identical family is tiered 'exact' end to end."""
+    from miekki import pipeline
+    from miekki.catalog import HadoopCatalog
+
+    cat = HadoopCatalog(spark, str(tmp_path / "cat_tiers"))
+    cat.overwrite("corpus", corpus_df.limit(400), run_id="ingest")
+    r = pipeline.run(spark, cat, run_id="t1", n_buckets=4,
+                     emit_tiers=True, collect_metrics=False)
+    assert "doc_tiers" in r["executed"]
+    tiers = cat.read("doc_tiers").toPandas()
+    labels = r["labels"].toPandas()
+    assert len(tiers) == len(labels) == r["n_docs"]
+
+    tmap = dict(zip(tiers.doc_id, tiers.tier))
+    sizes = labels.groupby("cluster_id")["doc_id"].transform("size")
+    multi = set(labels.doc_id[sizes.values > 1])
+    assert {d for d, t in tmap.items() if t != "unique"} == multi
+
+    # byte-identical norm_text ⇒ tier 'exact' on every family member
+    norm = cat.read("docs_norm").toPandas()
+    fam = norm.groupby("norm_text")["doc_id"].apply(list)
+    exact_docs = [d for ds in fam[fam.str.len() > 1] for d in ds]
+    assert exact_docs, "fixture must contain exact-dup families"
+    assert all(tmap[d] == "exact" for d in exact_docs)
+
+    # resume: a second run skips the tier stage too
+    r2 = pipeline.run(spark, cat, run_id="t2", n_buckets=4,
+                      emit_tiers=True, collect_metrics=False)
+    assert "doc_tiers" in r2["skipped"]
+
+
 def test_mix_sample_broadcast_no_corpus_shuffle(spark):
     """The rates join must broadcast; the corpus side must reach the
     projection without an Exchange."""
