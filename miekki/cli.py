@@ -127,6 +127,106 @@ def cmd_filter(args):
     }))
 
 
+def cmd_curate(args):
+    """End-to-end training-data curation — the composition the engine
+    exists for, as one resumable catalog run:
+
+      corpus → X24 filter battery (verdicts kept, never silent)
+             → dedup pipeline (MinHash-LSH ∪ SimHash ∪ substring → CC)
+               with X27 tier labels
+             → X28 cluster cap (≤ --cluster-cap survivors per dup
+               cluster, deterministic rank)
+             → X29 mixture sampling (per-lang --mix rates)
+             → X26 split assignment (--splits weights)
+             → `curated` table (url, warc_ts, text, lang, cluster_id,
+               tier, split)
+
+    Every arrow is a catalog table, so the funnel is auditable and
+    each count in the printed JSON is reproducible by reading the
+    intermediate tables. Dedup stages resume via lineage; the
+    filter/cap/mix/split stages are cheap projections recomputed per
+    run_id."""
+    from pyspark.sql import functions as F
+
+    from miekki.config import DedupConfig
+    from miekki.exprs import doc_id_sql
+    from miekki.pipeline import run
+    from miekki.stages.normalize import normalize
+    from miekki.tiers import cluster_cap, mix_sample
+    from miekki.webstats import filter_battery, split_assign
+
+    spark = _get_spark(args)
+    cat = _get_catalog(spark, args)
+    cfg = DedupConfig()
+    t0 = time.time()
+
+    corpus = cat.read(args.corpus)
+    n_input = corpus.count()
+
+    # 1. filter battery → keep/drop verdicts + surviving corpus
+    docs = normalize(corpus, cfg)
+    langs = tuple(s for s in args.langs.split(",") if s)
+    verdicts = filter_battery(docs, norm_col="norm_text",
+                              allowed_langs=langs)
+    cat.overwrite("filter_verdicts", verdicts, run_id=args.run_id)
+    kept_ids = cat.read("filter_verdicts").where(F.col("keep")) \
+        .select("doc_id")
+    kept = (corpus.withColumn("doc_id", F.expr(doc_id_sql("url", cfg)))
+            .join(kept_ids, "doc_id", "left_semi").drop("doc_id"))
+    cat.overwrite("corpus_kept", kept, run_id=args.run_id)
+    n_filtered = cat.read("corpus_kept").count()
+
+    # 2. dedup + tiers over the surviving corpus (resumable stages)
+    res = run(spark, cat, cfg, run_id=args.run_id,
+              corpus_table="corpus_kept", emit_tiers=True)
+
+    # 3. cluster cap: ≤ k survivors per dup cluster
+    labels = cat.read("cluster_labels").select("doc_id", "cluster_id",
+                                               "url")
+    capped = cluster_cap(labels, k=args.cluster_cap)
+    survivors = labels.join(capped.select("doc_id"), "doc_id",
+                            "left_semi")
+
+    # 4. mixture sampling per lang, 5. split assignment by url
+    rates = tuple((kv.split("=")[0], float(kv.split("=")[1]))
+                  for kv in args.mix.split(",") if kv)
+    meta = survivors.join(
+        cat.read("docs_norm").select("doc_id", "lang"), "doc_id")
+    mixed = mix_sample(meta, rates=rates, stratum_col="lang",
+                       key_col="url", default_rate=args.default_rate)
+    final_ids = mixed.where(F.col("kept")).select("doc_id")
+    weights = tuple((kv.split("=")[0], float(kv.split("=")[1]))
+                    for kv in args.splits.split(",") if kv)
+    final = (labels.join(final_ids, "doc_id", "left_semi")
+             .join(split_assign(
+                 labels.select("doc_id", "url"), weights=weights,
+                 key_col="url"), "doc_id")
+             .join(cat.read("doc_tiers"), "doc_id")
+             .join(kept.withColumn(
+                 "doc_id", F.expr(doc_id_sql("url", cfg)))
+                 .select("doc_id", "warc_ts", "text", "lang"), "doc_id")
+             .select("doc_id", "url", "warc_ts", "text", "lang",
+                     "cluster_id", "tier", "split"))
+    cat.overwrite("curated", final, run_id=args.run_id)
+
+    cur = cat.read("curated")
+    n_curated = cur.count()
+    print(json.dumps({
+        "run_id": args.run_id,
+        "funnel": {"input": n_input, "after_filter": n_filtered,
+                   "after_dedup": res["n_docs"],
+                   "after_cap": survivors.count(),
+                   "curated": n_curated},
+        "by_split": {r["split"]: r["n"] for r in
+                     cur.groupBy("split")
+                     .agg(F.count(F.lit(1)).alias("n")).collect()},
+        "by_tier": {r["tier"]: r["n"] for r in
+                    cur.groupBy("tier")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()},
+        "wall_sec": round(time.time() - t0, 2),
+    }))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="miekki")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -157,6 +257,17 @@ def main(argv=None):
     pf.add_argument("--langs", default="en",
                     help="comma-separated language allowlist")
     pf.set_defaults(fn=cmd_filter)
+
+    pc = sub.add_parser("curate", parents=[common])
+    pc.add_argument("--run-id", default="curate0")
+    pc.add_argument("--corpus", default="corpus")
+    pc.add_argument("--langs", default="en")
+    pc.add_argument("--cluster-cap", type=int, default=4)
+    pc.add_argument("--mix", default="en=1.0",
+                    help="lang=rate pairs, e.g. en=0.5,fr=1.0")
+    pc.add_argument("--default-rate", type=float, default=1.0)
+    pc.add_argument("--splits", default="train=0.98,val=0.01,test=0.01")
+    pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     args.fn(args)

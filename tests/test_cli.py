@@ -43,3 +43,43 @@ def test_cli_filter_consistent(spark, corpus_df, filter_catalog_root,
     assert kept.count() == out["n_kept"]
     # kept table preserves the corpus schema (no doc_id leftover)
     assert sorted(kept.columns) == sorted(corpus_df.columns)
+
+
+def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
+    """curate composes filter → dedup+tiers → cluster cap → mix →
+    split into one auditable funnel; every count in the summary must
+    be reproducible from the catalog tables it cites."""
+    root = str(tmp_path_factory.mktemp("cli_curate"))
+    cat = HadoopCatalog(spark, root)
+    cat.overwrite("corpus", corpus_df.limit(400), run_id="ingest")
+
+    main(["curate", "--catalog-root", root, "--run-id", "c1",
+          "--langs", "en,fr,es,zh,de", "--cluster-cap", "2",
+          "--mix", "en=0.5", "--default-rate", "1.0",
+          "--splits", "train=0.8,val=0.1,test=0.1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    f = out["funnel"]
+    assert f["input"] == 400
+    assert f["input"] >= f["after_filter"] >= f["after_cap"] \
+        >= f["curated"] > 0
+    assert f["after_dedup"] == f["after_filter"]   # dedup labels, not drops
+    assert sum(out["by_split"].values()) == f["curated"]
+    assert sum(out["by_tier"].values()) == f["curated"]
+    assert set(out["by_split"]) <= {"train", "val", "test"}
+
+    cur = cat.read("curated").toPandas()
+    assert len(cur) == f["curated"]
+    assert sorted(cur.columns) == sorted(
+        ["doc_id", "url", "warc_ts", "text", "lang", "cluster_id",
+         "tier", "split"])
+    # cluster cap honored end-to-end
+    assert cur.groupby("cluster_id").size().max() <= 2
+    # mixture: en survivors at most ~half of en cap-survivors
+    labels = cat.read("cluster_labels")
+    norm = cat.read("docs_norm").select("doc_id", "lang")
+    from miekki.tiers import cluster_cap
+    n_en_cap = (cluster_cap(labels.select("doc_id", "cluster_id"), k=2)
+                .join(norm, "doc_id").where("lang = 'en'").count())
+    n_en_cur = int((cur["lang"] == "en").sum())
+    assert n_en_cur < n_en_cap
