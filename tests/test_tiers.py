@@ -97,6 +97,46 @@ def test_mix_sample_rates_and_determinism(spark):
     assert m1 == m2
 
 
+def test_tier_labels_randomized_parity(spark):
+    """Seeded random edge soup (including self-loops, duplicate
+    pairs, unknown origins, docs outside the edge set) vs a
+    pure-Python recomputation of strongest-tier-per-endpoint."""
+    import random
+
+    rng = random.Random(42)
+    n_docs = 300
+    origins = list(TIER_PRIORITY) + ["mystery", "exact"]
+    edges = [(rng.randrange(n_docs), rng.randrange(n_docs),
+              rng.choice(origins)) for _ in range(500)]
+    docs = spark.createDataFrame([(i,) for i in range(n_docs)],
+                                 ["doc_id"])
+    edf = spark.createDataFrame(edges, ["src", "dst", "origin"])
+
+    rank = {name: i for i, name in enumerate(TIER_PRIORITY)}
+    best: dict[int, int] = {}
+    for s, d, o in edges:
+        r = rank.get(o, len(TIER_PRIORITY))
+        for e in (s, d):
+            best[e] = min(best.get(e, r), r)
+    want = {i: (TIER_PRIORITY[best[i]]
+                if i in best and best[i] < len(TIER_PRIORITY)
+                else "unique")
+            for i in range(n_docs)}
+
+    got = {r["doc_id"]: r["tier"]
+           for r in tier_labels(docs, edf).collect()}
+    assert got == want
+
+
+def test_mix_sample_null_stratum_gets_default(spark):
+    docs = spark.createDataFrame([(1, "en"), (2, None)],
+                                 ["doc_id", "lang"])
+    out = {r["doc_id"]: r["kept"] for r in
+           mix_sample(docs, rates=(("en", 1.0),), stratum_col="lang",
+                      key_col="doc_id", default_rate=0.0).collect()}
+    assert out == {1: True, 2: False}
+
+
 def test_pipeline_doc_tiers_stage(spark, corpus_df, tmp_path):
     """run(emit_tiers=True) materializes a doc_tiers table consistent
     with the run's own labels: tier != unique exactly for docs whose
