@@ -792,6 +792,17 @@ _LINE_TEXT_DUCK = (
     "  (i-1)*6 + 1, (i-1)*6 + 6), ' ')), chr(10))")
 
 
+def q_lm_score(spark, sf_dir):
+    """X30 — unigram-LM perplexity scoring (CCNet-style quality
+    signal; miekki/lm.py pins the smoothing + rounding spec). Full
+    per-row DuckDB value twin: vocab fit, add-one smoothing, OOV
+    handling, the empty-doc pin, and the head/middle/tail bucketing
+    are all recomputed independently."""
+    from miekki.lm import lm_score
+
+    return lm_score(_norm_docs(spark, sf_dir), norm_col="norm")
+
+
 def q_filter_battery(spark, sf_dir):
     """X24: composed keep/drop decision + reason codes (quality shape,
     language allowlist, PII budget on the planted-PII raw text,
@@ -1010,6 +1021,47 @@ def q_embedding_dedup(spark, sf_dir):
         F.lit(planted >= 45).alias("planted_recovered"))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """X31 — SemDeDup keep/drop contract (miekki/semdedup.py), run on
+    corpus ∪ 50 planted twins (cosine ~0.9998): (a) every input row
+    comes back exactly once with a distinct id (row count recomputed
+    from the corpus); (b) >= 45/50 planted pairs land in one k-means
+    cell with EXACTLY one member flagged — the keep-one-survivor
+    semantics (the slack covers pairs that straddle a cell boundary,
+    same bound as X9); (c) ZERO false dups among the non-planted
+    vectors (the raw testdata is near-uniform on the 64-sphere, max
+    pairwise cosine ~0.3 << the 0.95 threshold)."""
+    from miekki.embeddings import plant_near_dups
+    from miekki.semdedup import semantic_dedup
+
+    base_n = _emb(spark, sf_dir).count()
+    vecs = plant_near_dups(_emb(spark, sf_dir), n=50)
+    out = semantic_dedup(vecs, n_cells=8, threshold=0.95).localCheckpoint()
+    a = (out.where(F.col("vec_id") < 50)
+         .select(F.col("vec_id").alias("pid"),
+                 F.col("cell").alias("a_cell"),
+                 F.col("is_semantic_dup").alias("a_dup")))
+    b = (out.where(F.col("vec_id") >= 10**6)
+         .select((F.col("vec_id") - 10**6).alias("pid"),
+                 F.col("cell").alias("b_cell"),
+                 F.col("is_semantic_dup").alias("b_dup")))
+    kept_one = (a.join(b, "pid")
+                .where((F.col("a_cell") == F.col("b_cell"))
+                       & (F.col("a_dup").cast("int")
+                          + F.col("b_dup").cast("int") == 1))
+                .count())
+    n_rows = out.count()
+    n_ids = out.select("vec_id").distinct().count()
+    false_dups = (out.where((F.col("vec_id") >= 50)
+                            & (F.col("vec_id") < 10**6)
+                            & F.col("is_semantic_dup")).count())
+    return spark.createDataFrame(
+        [(n_rows == base_n + 50 and n_ids == n_rows,
+          kept_one >= 45, false_dups == 0)],
+        "rows_preserved boolean, planted_kept_one boolean,"
+        " no_false_dups boolean")
+
+
 def _media(spark, sf_dir):
     from miekki.multimodal import synthesize_media
 
@@ -1211,6 +1263,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_tiers": q_dedup_tiers,
     "cluster_cap": q_cluster_cap,
     "mix_sample": q_mix_sample,
+    "lm_score": q_lm_score,
+    "semantic_dedup": q_semantic_dedup,
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
@@ -1427,6 +1481,9 @@ ORACLE_SQL: dict[str, str] = {
                 " true AS nonempty"),
     "embedding_dedup": ("SELECT true AS cosine_ge_threshold,"
                         " true AS src_lt_dst, true AS planted_recovered"),
+    "semantic_dedup": ("SELECT true AS rows_preserved,"
+                       " true AS planted_kept_one,"
+                       " true AS no_false_dups"),
     # per-ROW contracts: DuckDB recomputes the row set + pinned parts
     # (anchor existence iff byte length >= anchor_k; the doc_id%3 kind
     # mapping; the video subset) so membership is genuinely checked
@@ -1449,6 +1506,7 @@ ORACLE_SQL: dict[str, str] = {
 
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
+    from miekki.lm import lm_score_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
     from miekki.tiers import (MIX_BUCKETS, cluster_cap_duck_sql,
                               mix_sample_duck_sql, tier_labels_duck_sql)
@@ -1513,6 +1571,7 @@ def _extras_oracle_sql() -> dict[str, str]:
             "url", chars_col="n_chars",
             blocklist=("site3.example.com",)),
         "vocab_topk": vocab_topk_duck_sql(_NORM_CTE, k=100),
+        "lm_score": lm_score_duck_sql(_NORM_CTE),
         "repetition": (
             f"SELECT doc_id, {repetition_duck_cols('norm')}"
             f" FROM ({_NORM_CTE})"),
