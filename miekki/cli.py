@@ -176,6 +176,18 @@ def cmd_curate(args):
     cat.overwrite("corpus_kept", kept, run_id=args.run_id)
     n_filtered = cat.read("corpus_kept").count()
 
+    # 1b. optional unigram-LM scoring (X30) over the full input —
+    # an auditable quality signal next to the verdicts (scored
+    # pre-filter so dropped docs keep their score for the audit)
+    if args.emit_lm:
+        from miekki.lm import lm_score
+
+        cat.overwrite(
+            "doc_lm",
+            lm_score(docs.select("doc_id", "norm_text"),
+                     norm_col="norm_text"),
+            run_id=args.run_id)
+
     # 2. dedup + tiers over the surviving corpus (resumable stages)
     res = run(spark, cat, cfg, run_id=args.run_id,
               corpus_table="corpus_kept", emit_tiers=True)
@@ -267,6 +279,9 @@ def main(argv=None):
                     help="lang=rate pairs, e.g. en=0.5,fr=1.0")
     pc.add_argument("--default-rate", type=float, default=1.0)
     pc.add_argument("--splits", default="train=0.98,val=0.01,test=0.01")
+    pc.add_argument("--emit-lm", action="store_true",
+                    help="also write doc_lm (X30 unigram-LM scores"
+                         " over the full input, pre-filter)")
     pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)

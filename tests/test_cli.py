@@ -56,7 +56,7 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
     main(["curate", "--catalog-root", root, "--run-id", "c1",
           "--langs", "en,fr,es,zh,de", "--cluster-cap", "2",
           "--mix", "en=0.5", "--default-rate", "1.0",
-          "--splits", "train=0.8,val=0.1,test=0.1"])
+          "--splits", "train=0.8,val=0.1,test=0.1", "--emit-lm"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     f = out["funnel"]
@@ -67,6 +67,14 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
     assert sum(out["by_split"].values()) == f["curated"]
     assert sum(out["by_tier"].values()) == f["curated"]
     assert set(out["by_split"]) <= {"train", "val", "test"}
+
+    # --emit-lm: one X30 score row per INPUT doc (pre-filter, so
+    # dropped docs keep their score for the audit), sane spec pins
+    lm = cat.read("doc_lm").toPandas()
+    assert len(lm) == f["input"]
+    assert sorted(lm.columns) == sorted(
+        ["doc_id", "n_tok", "n_oov", "mean_logp", "ppl", "lm_bucket"])
+    assert (lm["mean_logp"] <= 0).all() and (lm["ppl"] >= 1).all()
 
     cur = cat.read("curated").toPandas()
     assert len(cur) == f["curated"]
