@@ -93,15 +93,16 @@ def lm_score(docs_norm: DataFrame, v: int = V_DEFAULT,
                       F.col("logp").isNull().cast("int").alias("oov")))
     per_doc = (scored.groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_tok"),
-                    F.sum("oov").alias("n_oov"),
+                    F.sum("oov").cast("long").alias("n_oov"),
                     F.round(F.avg("lp"), 4).alias("mean_logp")))
     # docs with zero tokens never reach the explode — restore them
-    # with the pinned empty-doc row (left join, never an anti+union)
-    out = (docs_norm.select("doc_id").join(per_doc, "doc_id", "left")
-           .select("doc_id",
-                   F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
-                   F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
-                   F.coalesce("mean_logp", F.lit(0.0)).alias("mean_logp")))
+    # with the pinned empty-doc row via a MAP-ONLY filter + union
+    # (a left-join fill would be a second corpus-wide doc_id shuffle)
+    empties = (docs_norm.where(F.size(_tokens(norm_col)) == 0)
+               .select("doc_id", F.lit(0).cast("long").alias("n_tok"),
+                       F.lit(0).cast("long").alias("n_oov"),
+                       F.lit(0.0).alias("mean_logp")))
+    out = per_doc.unionByName(empties)
     ppl = F.round(F.exp(-F.col("mean_logp")), 2)
     return (out.withColumn("ppl", ppl)
             .withColumn("lm_bucket",
