@@ -188,6 +188,22 @@ def cmd_curate(args):
                      norm_col="norm_text"),
             run_id=args.run_id)
 
+    # 1c. optional DSIR importance weights (X32) over the full input
+    # with the filter battery's keepers as the target distribution —
+    # "docs that look like what the battery keeps" as a continuous,
+    # auditable signal next to the binary verdicts
+    if args.emit_dsir:
+        from miekki.dsir import dsir_score, feature_weights
+
+        raw_docs = docs.select("doc_id", "norm_text")
+        tgt_docs = raw_docs.join(kept_ids, "doc_id", "left_semi")
+        w = feature_weights(tgt_docs, raw_docs, norm_col="norm_text")
+        cat.overwrite(
+            "doc_dsir",
+            dsir_score(raw_docs, w, threshold=args.dsir_threshold,
+                       norm_col="norm_text"),
+            run_id=args.run_id)
+
     # 2. dedup + tiers over the surviving corpus (resumable stages)
     res = run(spark, cat, cfg, run_id=args.run_id,
               corpus_table="corpus_kept", emit_tiers=True)
@@ -282,6 +298,11 @@ def main(argv=None):
     pc.add_argument("--emit-lm", action="store_true",
                     help="also write doc_lm (X30 unigram-LM scores"
                          " over the full input, pre-filter)")
+    pc.add_argument("--emit-dsir", action="store_true",
+                    help="also write doc_dsir (X32 importance weights"
+                         " over the full input; target = the filter"
+                         " battery's keepers)")
+    pc.add_argument("--dsir-threshold", type=float, default=0.0)
     pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)

@@ -803,6 +803,33 @@ def q_lm_score(spark, sf_dir):
     return lm_score(_norm_docs(spark, sf_dir), norm_col="norm")
 
 
+def q_dsir_select(spark, sf_dir):
+    """X32 — DSIR importance resampling (Xie'23): target = the
+    corpus's own English docs, raw = the whole corpus; per-doc log
+    importance weight over hashed unigram+bigram features, then
+    deterministic Gumbel-threshold selection. Portable md5 bucket +
+    portable multiplicative rank so DuckDB recomputes every row
+    (production defaults: xxhash64 for both); the smoothing, bigram
+    construction, unseen-bucket constant, empty-doc pin, and
+    threshold math under test are hash-agnostic."""
+    from miekki.dsir import (RANK_BUCKETS, dsir_score, feature_weights,
+                             md5_bucket)
+    from miekki.stages.normalize import norm_text_col
+
+    base = _t(spark, sf_dir, "documents")
+    raw = base.select("doc_id", norm_text_col("text").alias("norm"))
+    tgt = (base.where(F.col("lang") == "en")
+           .select("doc_id", norm_text_col("text").alias("norm")))
+    w = feature_weights(tgt, raw, bucket_fn=md5_bucket())
+    # threshold -8.0 keeps ~20% of the sf0.01 corpus (key median is
+    # ~-15.6 there) — a realistic DSIR selection rate with both
+    # classes well-populated for the value twin
+    return dsir_score(
+        raw, w, threshold=-8.0,
+        rank_col=F.expr(f"pmod(doc_id * 2654435761, {RANK_BUCKETS})"),
+        bucket_fn=md5_bucket())
+
+
 def q_filter_battery(spark, sf_dir):
     """X24: composed keep/drop decision + reason codes (quality shape,
     language allowlist, PII budget on the planted-PII raw text,
@@ -1264,6 +1291,7 @@ QUERIES: dict[str, Callable] = {
     "cluster_cap": q_cluster_cap,
     "mix_sample": q_mix_sample,
     "lm_score": q_lm_score,
+    "dsir_select": q_dsir_select,
     "semantic_dedup": q_semantic_dedup,
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
@@ -1506,6 +1534,7 @@ ORACLE_SQL: dict[str, str] = {
 
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
+    from miekki.dsir import RANK_BUCKETS, dsir_duck_sql
     from miekki.lm import lm_score_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
     from miekki.tiers import (MIX_BUCKETS, cluster_cap_duck_sql,
@@ -1572,6 +1601,13 @@ def _extras_oracle_sql() -> dict[str, str]:
             blocklist=("site3.example.com",)),
         "vocab_topk": vocab_topk_duck_sql(_NORM_CTE, k=100),
         "lm_score": lm_score_duck_sql(_NORM_CTE),
+        "dsir_select": dsir_duck_sql(
+            _NORM_CTE,
+            f"SELECT doc_id, {_NORM_DUCK} AS norm FROM documents"
+            f" WHERE lang = 'en'",
+            threshold=-8.0,
+            rank_sql=f"((doc_id * 2654435761 % {RANK_BUCKETS})"
+                     f" + {RANK_BUCKETS}) % {RANK_BUCKETS}"),
         "repetition": (
             f"SELECT doc_id, {repetition_duck_cols('norm')}"
             f" FROM ({_NORM_CTE})"),

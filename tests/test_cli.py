@@ -56,7 +56,8 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
     main(["curate", "--catalog-root", root, "--run-id", "c1",
           "--langs", "en,fr,es,zh,de", "--cluster-cap", "2",
           "--mix", "en=0.5", "--default-rate", "1.0",
-          "--splits", "train=0.8,val=0.1,test=0.1", "--emit-lm"])
+          "--splits", "train=0.8,val=0.1,test=0.1", "--emit-lm",
+          "--emit-dsir"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     f = out["funnel"]
@@ -75,6 +76,14 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
     assert sorted(lm.columns) == sorted(
         ["doc_id", "n_tok", "n_oov", "mean_logp", "ppl", "lm_bucket"])
     assert (lm["mean_logp"] <= 0).all() and (lm["ppl"] >= 1).all()
+
+    # --emit-dsir: one X32 importance-weight row per INPUT doc;
+    # key = logw + gumbel noise, kept consistent with the threshold
+    ds = cat.read("doc_dsir").toPandas()
+    assert len(ds) == f["input"]
+    assert sorted(ds.columns) == sorted(
+        ["doc_id", "n_feat", "logw", "g", "key", "kept"])
+    assert (ds["kept"] == (ds["key"] >= 0.0)).all()
 
     cur = cat.read("curated").toPandas()
     assert len(cur) == f["curated"]
