@@ -239,6 +239,27 @@ def cmd_curate(args):
 
     cur = cat.read("curated")
     n_curated = cur.count()
+
+    # 6. optional sequence packing (X33) over the curated survivors —
+    # the terminal loader-side step: every curated doc gets its
+    # (bucket, seq span) assignment for fixed-length training
+    # sequences; per-bucket fill stats ride the summary
+    pack_summary = None
+    if args.emit_pack:
+        from miekki.packing import pack_stats, seq_pack
+
+        counts = cur.select(
+            "doc_id",
+            F.size(F.filter(F.split(F.col("text"), " "),
+                            lambda t: t != "")).cast("long")
+            .alias("n_tok"))
+        packed = seq_pack(counts, seq_len=args.seq_len)
+        cat.overwrite("doc_pack", packed, run_id=args.run_id)
+        st = (pack_stats(cat.read("doc_pack"), seq_len=args.seq_len)
+              .agg(F.sum("n_tokens").alias("tok"),
+                   F.sum("n_seqs").alias("seqs")).first())
+        pack_summary = {"n_tokens": st["tok"], "n_seqs": st["seqs"],
+                        "seq_len": args.seq_len}
     print(json.dumps({
         "run_id": args.run_id,
         "funnel": {"input": n_input, "after_filter": n_filtered,
@@ -251,6 +272,7 @@ def cmd_curate(args):
         "by_tier": {r["tier"]: r["n"] for r in
                     cur.groupBy("tier")
                     .agg(F.count(F.lit(1)).alias("n")).collect()},
+        "pack": pack_summary,
         "wall_sec": round(time.time() - t0, 2),
     }))
 
@@ -303,6 +325,10 @@ def main(argv=None):
                          " over the full input; target = the filter"
                          " battery's keepers)")
     pc.add_argument("--dsir-threshold", type=float, default=0.0)
+    pc.add_argument("--emit-pack", action="store_true",
+                    help="also write doc_pack (X33 sequence-packing"
+                         " assignment over the curated survivors)")
+    pc.add_argument("--seq-len", type=int, default=2048)
     pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)

@@ -830,6 +830,24 @@ def q_dsir_select(spark, sf_dir):
         bucket_fn=md5_bucket())
 
 
+def q_seq_pack(spark, sf_dir):
+    """X33 — sequence packing (concat-and-chunk): assign every doc a
+    (bucket, seq_first..seq_last) span of fixed-length training
+    sequences via one window cumsum. Token counts use X30's
+    tokenizer; portable bucket/rank so DuckDB recomputes every row
+    (production: xxhash64 for both)."""
+    from miekki.lm import _tokens
+    from miekki.packing import seq_pack
+
+    docs = (_norm_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.size(_tokens("norm")).cast("long").alias("n_tok")))
+    return seq_pack(
+        docs, seq_len=512, n_buckets=8,
+        bucket_col=F.expr("pmod(doc_id * 2654435761, 8)"),
+        rank_col=F.expr("pmod(doc_id * 1099511628211, 2147483648)"))
+
+
 def q_filter_battery(spark, sf_dir):
     """X24: composed keep/drop decision + reason codes (quality shape,
     language allowlist, PII budget on the planted-PII raw text,
@@ -1292,6 +1310,7 @@ QUERIES: dict[str, Callable] = {
     "mix_sample": q_mix_sample,
     "lm_score": q_lm_score,
     "dsir_select": q_dsir_select,
+    "seq_pack": q_seq_pack,
     "semantic_dedup": q_semantic_dedup,
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
@@ -1536,6 +1555,7 @@ def _extras_oracle_sql() -> dict[str, str]:
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
     from miekki.dsir import RANK_BUCKETS, dsir_duck_sql
     from miekki.lm import lm_score_duck_sql
+    from miekki.packing import seq_pack_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
     from miekki.tiers import (MIX_BUCKETS, cluster_cap_duck_sql,
                               mix_sample_duck_sql, tier_labels_duck_sql)
@@ -1601,6 +1621,10 @@ def _extras_oracle_sql() -> dict[str, str]:
             blocklist=("site3.example.com",)),
         "vocab_topk": vocab_topk_duck_sql(_NORM_CTE, k=100),
         "lm_score": lm_score_duck_sql(_NORM_CTE),
+        "seq_pack": seq_pack_duck_sql(
+            f"SELECT doc_id, CAST(len(list_filter(str_split(norm, ' '),"
+            f" t -> t <> '')) AS BIGINT) AS n_tok FROM ({_NORM_CTE})",
+            seq_len=512, n_buckets=8),
         "dsir_select": dsir_duck_sql(
             _NORM_CTE,
             f"SELECT doc_id, {_NORM_DUCK} AS norm FROM documents"

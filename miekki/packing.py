@@ -1,0 +1,153 @@
+"""X33 — sequence packing for training (concat-and-chunk): assign
+curated docs to fixed-length training sequences, deterministically
+and in parallel.
+
+Public design this derives from: the standard GPT-style pretraining
+input pipeline (Brown et al. 2020 §2.3 describe packing documents
+into 2048-token sequences; T5/LLaMA data loaders do the same) —
+documents are concatenated in a fixed order and chunked every
+`seq_len` tokens, with docs allowed to straddle a chunk boundary.
+Boundary-respecting bin packing (first-fit-decreasing) is inherently
+sequential per bin; concat-and-chunk is what production loaders
+actually run AND it is exactly expressible as a window cumsum, so it
+parallelizes and twins.
+
+Pinned spec (shared by both dialects):
+  bucket    = hash(doc_id) mod P                  (P = n_buckets —
+              independent packer streams; production xxhash64,
+              portable twin = multiplicative hash)
+  order     = (rank, doc_id) within bucket        (rank pluggable —
+              hash-uniform by default; pass a curriculum/length key
+              to control locality)
+  cum       = exclusive running sum of n_tok within the bucket
+  start_off = cum mod seq_len      (offset of the doc's first token
+                                    inside its first sequence)
+  seq_first = floor(cum / seq_len)                (bucket-local)
+  seq_last  = floor((cum + n_tok - 1) / seq_len)  for n_tok > 0;
+              pinned = seq_first for n_tok = 0
+  n_seqs    = seq_last - seq_first + 1 for n_tok > 0, else 0
+              (how many training sequences the doc touches)
+
+Conservation invariants (pinned, tested): within a bucket the
+sequences 0..floor((sum n_tok - 1)/seq_len) are each touched by at
+least one doc and every token position below the bucket's total is
+covered exactly once — concat-and-chunk wastes nothing except the
+final partial sequence per bucket.
+
+Scale shape (the part that must survive 1000 executors / 100 TB):
+  * exactly ONE shuffle — hashpartition on bucket; the window cumsum
+    streams each bucket ordered (WindowExec buffers one frame row at
+    a time for a running sum, not the whole partition for rank-style
+    frames).
+  * bucket count P is the parallelism/locality knob: partitions hold
+    ~corpus/P docs, hash-uniform (no skew by construction — the key
+    is a hash of doc_id, not a data attribute). Cross-bucket sequence
+    ids never need a global pass: ids are (bucket, seq) pairs, and a
+    flat id is `bucket * ceil_cap + seq` with ceil_cap chosen per
+    run (docs_per_bucket * max_doc_tok / seq_len bounds it).
+  * no driver-side state, no collect, no UDFs — pure codegen'd
+    projections around one Window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SEQ_LEN_DEFAULT = 2048
+N_BUCKETS_DEFAULT = 1024
+
+
+def seq_pack(docs: DataFrame, seq_len: int = SEQ_LEN_DEFAULT,
+             n_buckets: int = N_BUCKETS_DEFAULT,
+             tok_col: str = "n_tok",
+             bucket_col: F.Column | None = None,
+             rank_col: F.Column | None = None) -> DataFrame:
+    """Per-doc packing assignment: (doc_id, bucket, n_tok, start_off,
+    seq_first, seq_last, n_seqs). See module doc for the pinned spec.
+
+    `docs` needs (doc_id, tok_col); tok_col is the doc's token count
+    (X30's n_tok or X5's token counter — integer, >= 0)."""
+    bucket = (bucket_col if bucket_col is not None
+              else F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)))
+    rank = (rank_col if rank_col is not None
+            else F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)),
+                        F.lit(1 << 31)))
+    tok = F.col(tok_col).cast("long")
+    w = (Window.partitionBy("bucket")
+         .orderBy("rk", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    out = (docs.select("doc_id", tok.alias("n_tok"),
+                       bucket.alias("bucket"), rank.alias("rk"))
+           .withColumn("cum", cum)
+           .select(
+               "doc_id", "bucket", "n_tok",
+               F.pmod("cum", F.lit(seq_len)).alias("start_off"),
+               (F.col("cum") / seq_len).cast("long").alias("seq_first"),
+               F.when(F.col("n_tok") > 0,
+                      ((F.col("cum") + F.col("n_tok") - 1) / seq_len)
+                      .cast("long"))
+               .otherwise((F.col("cum") / seq_len).cast("long"))
+               .alias("seq_last")))
+    return out.withColumn(
+        "n_seqs",
+        F.when(F.col("n_tok") > 0,
+               F.col("seq_last") - F.col("seq_first") + 1)
+        .otherwise(F.lit(0)).cast("long"))
+
+
+def pack_stats(packed: DataFrame, seq_len: int = SEQ_LEN_DEFAULT
+               ) -> DataFrame:
+    """Per-bucket rollup: docs, tokens, sequences produced, and the
+    fill ratio of the final chunking (1 - waste); waste is only the
+    final partial sequence per bucket, so fill -> 1 as buckets grow."""
+    agg = packed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"))
+    n_seqs = F.ceil(F.col("n_tokens") / F.lit(float(seq_len)))
+    return agg.select(
+        "bucket", "n_docs", "n_tokens",
+        n_seqs.cast("long").alias("n_seqs"),
+        F.round(F.col("n_tokens")
+                / (n_seqs * seq_len).cast("double"), 4).alias("fill"))
+
+
+def seq_pack_duck_sql(docs_cte: str, seq_len: int = SEQ_LEN_DEFAULT,
+                      n_buckets: int = N_BUCKETS_DEFAULT,
+                      bucket_sql: str | None = None,
+                      rank_sql: str | None = None) -> str:
+    """DuckDB twin recomputing identical values; pair the portable
+    bucket/rank defaults with the same expressions passed as Spark
+    columns (production defaults are xxhash64-based and need the
+    Spark-side hash)."""
+    bucket_sql = bucket_sql or (
+        f"((doc_id * 2654435761 % {n_buckets}) + {n_buckets})"
+        f" % {n_buckets}")
+    rank_sql = rank_sql or ("((doc_id * 1099511628211 % 2147483648)"
+                            " + 2147483648) % 2147483648")
+    return f"""
+WITH docs AS ({docs_cte}),
+keyed AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         {bucket_sql} AS bucket, {rank_sql} AS rk
+  FROM docs),
+cums AS (
+  SELECT doc_id, bucket, n_tok,
+         -- DuckDB widens window sums of BIGINT to HUGEINT; pin the
+         -- twin's dtype to Spark's long
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY bucket ORDER BY rk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum
+  FROM keyed)
+SELECT doc_id, bucket, n_tok,
+       cum % {seq_len} AS start_off,
+       cum // {seq_len} AS seq_first,
+       CASE WHEN n_tok > 0 THEN (cum + n_tok - 1) // {seq_len}
+            ELSE cum // {seq_len} END AS seq_last,
+       CASE WHEN n_tok > 0
+            THEN (CASE WHEN n_tok > 0 THEN (cum + n_tok - 1) // {seq_len}
+                       ELSE cum // {seq_len} END) - cum // {seq_len} + 1
+            ELSE 0 END AS n_seqs
+FROM cums
+"""

@@ -57,7 +57,7 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
           "--langs", "en,fr,es,zh,de", "--cluster-cap", "2",
           "--mix", "en=0.5", "--default-rate", "1.0",
           "--splits", "train=0.8,val=0.1,test=0.1", "--emit-lm",
-          "--emit-dsir"])
+          "--emit-dsir", "--emit-pack", "--seq-len", "256"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     f = out["funnel"]
@@ -84,6 +84,14 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
     assert sorted(ds.columns) == sorted(
         ["doc_id", "n_feat", "logw", "g", "key", "kept"])
     assert (ds["kept"] == (ds["key"] >= 0.0)).all()
+
+    # --emit-pack: one X33 packing row per CURATED doc; spans cover
+    # the summary's sequence count exactly
+    pk = cat.read("doc_pack").toPandas()
+    assert len(pk) == f["curated"]
+    assert out["pack"]["seq_len"] == 256
+    assert out["pack"]["n_tokens"] == pk["n_tok"].sum()
+    assert (pk["seq_last"] >= pk["seq_first"]).all()
 
     cur = cat.read("curated").toPandas()
     assert len(cur) == f["curated"]
