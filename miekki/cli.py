@@ -246,13 +246,18 @@ def cmd_curate(args):
     # sequences; per-bucket fill stats ride the summary
     pack_summary = None
     if args.emit_pack:
+        from miekki.lm import _tokens
         from miekki.packing import pack_stats, seq_pack
 
-        counts = cur.select(
-            "doc_id",
-            F.size(F.filter(F.split(F.col("text"), " "),
-                            lambda t: t != "")).cast("long")
-            .alias("n_tok"))
+        # token counts use the pinned X30 tokenizer over NORMALIZED
+        # text (packing.py's contract) — splitting raw `text` on ' '
+        # would disagree with doc_lm's n_tok for docs with tabs or
+        # newlines
+        counts = (docs
+                  .select("doc_id",
+                          F.size(_tokens("norm_text")).cast("long")
+                          .alias("n_tok"))
+                  .join(cur.select("doc_id"), "doc_id", "left_semi"))
         packed = seq_pack(counts, seq_len=args.seq_len)
         cat.overwrite("doc_pack", packed, run_id=args.run_id)
         st = (pack_stats(cat.read("doc_pack"), seq_len=args.seq_len)

@@ -826,8 +826,7 @@ def q_dsir_select(spark, sf_dir):
     # classes well-populated for the value twin
     return dsir_score(
         raw, w, threshold=-8.0,
-        rank_col=F.expr(f"pmod(doc_id * 2654435761, {RANK_BUCKETS})"),
-        bucket_fn=md5_bucket())
+        rank_col=F.expr(f"pmod(doc_id * 2654435761, {RANK_BUCKETS})"))
 
 
 def q_seq_pack(spark, sf_dir):
@@ -844,8 +843,10 @@ def q_seq_pack(spark, sf_dir):
                     F.size(_tokens("norm")).cast("long").alias("n_tok")))
     return seq_pack(
         docs, seq_len=512, n_buckets=8,
-        bucket_col=F.expr("pmod(doc_id * 2654435761, 8)"),
-        rank_col=F.expr("pmod(doc_id * 1099511628211, 2147483648)"))
+        bucket_col=F.expr(
+            "pmod(pmod(doc_id, 1000003) * 2654435761, 8)"),
+        rank_col=F.expr(
+            "pmod(pmod(doc_id, 1000003) * 48271, 2147483648)"))
 
 
 def q_filter_battery(spark, sf_dir):

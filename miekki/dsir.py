@@ -52,20 +52,16 @@ Scale shape (the part that must survive 1000 executors / 100 TB):
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
 from pyspark.sql import DataFrame, functions as F
 
+# the pinned repo-wide tokenizer — X30's LM, X32, and X33 must share
+# one vocabulary convention, so there is exactly one definition
+from miekki.lm import _tokens
+
 B_DEFAULT = 8192
 RANK_BUCKETS = 10000
-
-
-def _c(col):
-    return F.col(col) if isinstance(col, str) else col
-
-
-def _tokens(norm_col) -> F.Column:
-    return F.filter(F.split(_c(norm_col), " "), lambda t: t != "")
 
 
 def features_col(norm_col) -> F.Column:
@@ -106,22 +102,37 @@ def bucket_counts(docs: DataFrame, b: int = B_DEFAULT,
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
 
 
+class DsirWeights(NamedTuple):
+    """Fit result: the weight table PLUS the (b, bucket_fn) pair it
+    was fit with, carried together so scoring can never silently
+    bucket features with a different hash than the fit did (a
+    mismatch would score every feature near w_unseen with no
+    error)."""
+    df: DataFrame
+    b: int
+    bucket_fn: Callable[[F.Column], F.Column]
+
+
 def feature_weights(target: DataFrame, raw: DataFrame,
                     b: int = B_DEFAULT,
                     bucket_fn: Callable[[F.Column], F.Column] | None = None,
-                    norm_col: str = "norm") -> DataFrame:
+                    norm_col: str = "norm") -> DsirWeights:
     """Per-bucket importance weights w_b = ln(p_b) - ln(q_b) plus the
-    unseen-bucket constant, as a small broadcastable DataFrame
-    (bucket, w, w_unseen). Only buckets seen in EITHER corpus appear;
-    w_unseen (the c=0/c=0 value) rides every row so scoring's
-    left-join misses keep the exact spec value (the X30 oov pattern)."""
+    unseen-bucket constant, as a small cached DataFrame (bucket, w,
+    w_unseen) bundled with its hash config. Only buckets seen in
+    EITHER corpus appear; w_unseen (the c=0/c=0 value) rides every
+    row so scoring's left-join misses keep the exact spec value (the
+    X30 oov pattern). Corpus totals come from the count tables
+    themselves (bucket_counts is exhaustive, so sum(n) == N — no
+    second featurization pass over either corpus), and the ≤B-row
+    result is cache()d because scoring broadcasts two projections of
+    it (the weight join and the w_unseen constant) — without the
+    cache the whole fit would execute once per broadcast."""
     bucket_fn = bucket_fn or xxhash_bucket(b)
     ct = bucket_counts(target, b, bucket_fn, norm_col)
     cr = bucket_counts(raw, b, bucket_fn, norm_col)
-    nt = target.agg(F.coalesce(
-        F.sum(F.size(features_col(norm_col))), F.lit(0)).alias("n_t"))
-    nr = raw.agg(F.coalesce(
-        F.sum(F.size(features_col(norm_col))), F.lit(0)).alias("n_r"))
+    nt = ct.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_t"))
+    nr = cr.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_r"))
     joined = (ct.withColumnRenamed("n", "c_t")
               .join(cr.withColumnRenamed("n", "c_r"), "bucket", "full")
               .crossJoin(nt).crossJoin(nr))
@@ -129,27 +140,27 @@ def feature_weights(target: DataFrame, raw: DataFrame,
     dr = F.col("n_r") + F.lit(b)
     logp = F.log((F.coalesce("c_t", F.lit(0)) + 1) / dt)
     logq = F.log((F.coalesce("c_r", F.lit(0)) + 1) / dr)
-    return joined.select(
+    df = joined.select(
         "bucket", (logp - logq).alias("w"),
         (F.log(F.lit(1.0) / dt) - F.log(F.lit(1.0) / dr))
-        .alias("w_unseen"))
+        .alias("w_unseen")).cache()
+    return DsirWeights(df, b, bucket_fn)
 
 
 def default_rank_col() -> F.Column:
     return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(RANK_BUCKETS))
 
 
-def dsir_score(raw: DataFrame, weights: DataFrame,
+def dsir_score(raw: DataFrame, model: DsirWeights,
                threshold: float,
                rank_col: F.Column | None = None,
-               norm_col: str = "norm",
-               bucket_fn: Callable[[F.Column], F.Column] | None = None,
-               b: int = B_DEFAULT) -> DataFrame:
+               norm_col: str = "norm") -> DataFrame:
     """Per-doc (doc_id, n_feat, logw, g, key, kept) — see module doc.
     `kept` is computed, never filtered (X24's never-discard-silently);
     pass the scored frame through `.where("kept")` to materialize the
-    selection."""
-    bucket_fn = bucket_fn or xxhash_bucket(b)
+    selection. The bucket hash comes from the model itself so it can
+    never disagree with the fit."""
+    weights, bucket_fn = model.df, model.bucket_fn
     rank_col = rank_col if rank_col is not None else default_rank_col()
     w_unseen = weights.select("w_unseen").limit(1)
     feat = raw.select(

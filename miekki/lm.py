@@ -51,7 +51,16 @@ def _c(col):
 
 
 def _tokens(norm_col) -> F.Column:
-    return F.filter(F.split(_c(norm_col), " "), lambda t: t != "")
+    """THE repo-wide tokenizer (X30/X32/X33 share it — one vocabulary
+    convention). NULL norm is pinned ≡ empty string: without the
+    coalesce a NULL row would vanish from scoring entirely (explode
+    drops it AND size(NULL) is NULL under ANSI, so the empty-doc
+    restore filter would miss it too), silently breaking the
+    never-discard contract and diverging from the DuckDB twins,
+    which restore NULL-norm docs via their left join from docs."""
+    return F.filter(
+        F.split(F.coalesce(_c(norm_col), F.lit("")), " "),
+        lambda t: t != "")
 
 
 def unigram_model(docs_norm: DataFrame, v: int = V_DEFAULT,
@@ -78,7 +87,10 @@ def lm_score(docs_norm: DataFrame, v: int = V_DEFAULT,
              norm_col: str = "norm") -> DataFrame:
     """Per-doc unigram-LM stats: (doc_id, n_tok, n_oov, mean_logp,
     ppl, lm_bucket). See module doc for the pinned spec."""
-    model = unigram_model(docs_norm, v=v, norm_col=norm_col)
+    # cache(): scoring broadcasts TWO projections of the model (the
+    # token join and the 1-row OOV constant) — without the cache the
+    # whole corpus-wide vocab fit would execute once per broadcast
+    model = unigram_model(docs_norm, v=v, norm_col=norm_col).cache()
     # the OOV constant must survive a non-matching left join, so it
     # rides a 1-row broadcast crossJoin, NOT the model's right side
     # (a left-join miss nulls ALL right-side columns, oov_logp too)

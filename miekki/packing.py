@@ -108,8 +108,12 @@ def pack_stats(packed: DataFrame, seq_len: int = SEQ_LEN_DEFAULT
     return agg.select(
         "bucket", "n_docs", "n_tokens",
         n_seqs.cast("long").alias("n_seqs"),
-        F.round(F.col("n_tokens")
-                / (n_seqs * seq_len).cast("double"), 4).alias("fill"))
+        # a bucket of only zero-token docs produces 0 sequences;
+        # fill is pinned 1.0 (vacuously no waste), never NULL from 0/0
+        F.when(n_seqs > 0,
+               F.round(F.col("n_tokens")
+                       / (n_seqs * seq_len).cast("double"), 4))
+        .otherwise(F.lit(1.0)).alias("fill"))
 
 
 def seq_pack_duck_sql(docs_cte: str, seq_len: int = SEQ_LEN_DEFAULT,
@@ -120,11 +124,16 @@ def seq_pack_duck_sql(docs_cte: str, seq_len: int = SEQ_LEN_DEFAULT,
     bucket/rank defaults with the same expressions passed as Spark
     columns (production defaults are xxhash64-based and need the
     Spark-side hash)."""
+    # the portable defaults reduce doc_id mod a prime BEFORE the
+    # multiplicative mix: DuckDB raises on BIGINT overflow (unlike
+    # Spark's wrapping pmod), so a bare doc_id * K would crash the
+    # twin for ids past ~2^63/K; after the mod the product is
+    # bounded by 1000002 * 2654435761 < 2^52
     bucket_sql = bucket_sql or (
-        f"((doc_id * 2654435761 % {n_buckets}) + {n_buckets})"
-        f" % {n_buckets}")
-    rank_sql = rank_sql or ("((doc_id * 1099511628211 % 2147483648)"
-                            " + 2147483648) % 2147483648")
+        f"(((doc_id % 1000003 + 1000003) % 1000003)"
+        f" * 2654435761) % {n_buckets}")
+    rank_sql = rank_sql or ("(((doc_id % 1000003 + 1000003) % 1000003)"
+                            " * 48271) % 2147483648")
     return f"""
 WITH docs AS ({docs_cte}),
 keyed AS (

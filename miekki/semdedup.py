@@ -123,7 +123,17 @@ def semantic_dedup(vectors: DataFrame, n_cells: int = 32,
     """(id, cell, cent_cos, is_semantic_dup) — every input row comes
     back exactly once; survivors are rows with is_semantic_dup =
     false (keep decision, not a filter: X24's never-discard-silently
-    rule)."""
+    rule).
+
+    id_col must be a 64-bit integer column (the repo's doc_id/vec_id
+    convention): the Arrow kernel emits it as int64. Validated here
+    so a string-id caller fails at plan time with a clear message,
+    not executor-side in pa.array()."""
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "long"):
+        raise ValueError(
+            f"semantic_dedup requires a 64-bit integer {id_col!r}"
+            f" (got {id_type}); hash string ids first (exprs.doc_id_sql)")
     cents = kmeans_centroids(vectors, n_cells,
                              id_col=id_col, vec_col=vec_col)
     slim = vectors.select(id_col, vec_col)

@@ -219,10 +219,22 @@ def mix_sample(docs: DataFrame, rates: tuple[tuple[str, float], ...],
     spark = docs.sparkSession
     rk = (rank_col if rank_col is not None
           else F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)))
+    # a duplicated stratum key would duplicate every matching doc
+    # through the join — reject it loudly rather than inflate counts
+    strata = [s for s, _ in rates]
+    if len(strata) != len(set(strata)):
+        raise ValueError(f"duplicate strata in rates: {strata}")
+    default_below = int(round(default_rate * buckets))
+    base = docs.select("doc_id", stratum_col, rk.alias("rk"))
+    if not rates:
+        # empty rates = sample every stratum at the default rate
+        # (createDataFrame can't infer a schema from zero rows)
+        return base.select(
+            "doc_id", F.col(stratum_col).alias("stratum"),
+            (F.col("rk") < F.lit(default_below)).alias("kept"))
     thresholds = [(s, int(round(r * buckets))) for s, r in rates]
     rates_df = spark.createDataFrame(thresholds, [stratum_col, "keep_below"])
-    default_below = int(round(default_rate * buckets))
-    return (docs.select("doc_id", stratum_col, rk.alias("rk"))
+    return (base
             .join(F.broadcast(rates_df), stratum_col, "left")
             .select("doc_id", F.col(stratum_col).alias("stratum"),
                     (F.col("rk") < F.coalesce(

@@ -56,8 +56,7 @@ def scored(spark):
     tgt = spark.createDataFrame(TARGET, ["doc_id", "norm"])
     w = feature_weights(tgt, raw, b=B, bucket_fn=md5_bucket(B))
     out = dsir_score(raw, w, threshold=0.0,
-                     rank_col=F.expr(f"pmod(doc_id * 7919, {RANK_BUCKETS})"),
-                     bucket_fn=md5_bucket(B), b=B)
+                     rank_col=F.expr(f"pmod(doc_id * 7919, {RANK_BUCKETS})"))
     return {r["doc_id"]: r for r in out.collect()}
 
 
@@ -93,10 +92,8 @@ def test_gumbel_deterministic(spark):
     raw = spark.createDataFrame(RAW, ["doc_id", "norm"])
     tgt = spark.createDataFrame(TARGET, ["doc_id", "norm"])
     w = feature_weights(tgt, raw, b=B, bucket_fn=md5_bucket(B))
-    a = sorted(dsir_score(raw, w, 0.0, bucket_fn=md5_bucket(B),
-                          b=B).collect())
-    b2 = sorted(dsir_score(raw, w, 0.0, bucket_fn=md5_bucket(B),
-                           b=B).collect())
+    a = sorted(dsir_score(raw, w, 0.0).collect())
+    b2 = sorted(dsir_score(raw, w, 0.0).collect())
     assert a == b2
 
 
@@ -105,11 +102,9 @@ def test_threshold_monotone(spark):
     tgt = spark.createDataFrame(TARGET, ["doc_id", "norm"])
     w = feature_weights(tgt, raw, b=B, bucket_fn=md5_bucket(B))
     lo = {r["doc_id"] for r in dsir_score(
-        raw, w, -10.0, bucket_fn=md5_bucket(B), b=B
-    ).where("kept").collect()}
+        raw, w, -10.0).where("kept").collect()}
     hi = {r["doc_id"] for r in dsir_score(
-        raw, w, 1.0, bucket_fn=md5_bucket(B), b=B
-    ).where("kept").collect()}
+        raw, w, 1.0).where("kept").collect()}
     assert hi <= lo and len(lo) == len(RAW)
 
 
@@ -124,8 +119,8 @@ def test_duckdb_twin_parity(spark):
     w = feature_weights(tgt, raw, b=B, bucket_fn=md5_bucket(B))
     spark_out = sorted(
         dsir_score(raw, w, threshold=0.2,
-                   rank_col=F.expr(f"pmod(doc_id * 7919, {RANK_BUCKETS})"),
-                   bucket_fn=md5_bucket(B), b=B).collect())
+                   rank_col=F.expr(f"pmod(doc_id * 7919, {RANK_BUCKETS})"))
+        .collect())
     con = duckdb.connect()
     con.execute("CREATE TABLE d (doc_id BIGINT, norm VARCHAR)")
     con.executemany("INSERT INTO d VALUES (?, ?)", rows)
@@ -152,8 +147,8 @@ def test_scoring_join_is_broadcast(spark):
     raw = spark.createDataFrame(RAW, ["doc_id", "norm"])
     tgt = spark.createDataFrame(TARGET, ["doc_id", "norm"])
     w = feature_weights(tgt, raw, b=B, bucket_fn=md5_bucket(B))
-    plan = dsir_score(raw, w, 0.0, bucket_fn=md5_bucket(B),
-                      b=B)._jdf.queryExecution().executedPlan().toString()
+    plan = dsir_score(raw, w, 0.0)._jdf.queryExecution() \
+        .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     # the only sort-merge join allowed is feature_weights' B-bounded
     # FullOuter of the two count tables (full outer can't broadcast;

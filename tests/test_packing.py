@@ -78,8 +78,9 @@ def test_duckdb_twin_parity(spark):
     df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
     out = sorted(seq_pack(
         df, seq_len=16, n_buckets=8,
-        bucket_col=F.expr("pmod(doc_id * 2654435761, 8)"),
-        rank_col=F.expr("pmod(doc_id * 1099511628211, 2147483648)")
+        bucket_col=F.expr("pmod(pmod(doc_id, 1000003) * 2654435761, 8)"),
+        rank_col=F.expr(
+            "pmod(pmod(doc_id, 1000003) * 48271, 2147483648)")
     ).collect())
     con = duckdb.connect()
     con.execute("CREATE TABLE d (doc_id BIGINT, n_tok BIGINT)")

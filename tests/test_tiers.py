@@ -182,3 +182,21 @@ def test_mix_sample_broadcast_no_corpus_shuffle(spark):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_mix_sample_empty_rates_uses_default(spark):
+    """rates=() is a legitimate 'default rate for every stratum' call
+    (reachable via `curate --mix \"\"`) — it must not crash on the
+    empty-frame schema inference, and duplicate strata must be
+    rejected loudly (they would duplicate docs through the join)."""
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(1, 401)],
+        ["doc_id", "lang"])
+    rk = F.pmod(F.col("doc_id") * 2654435761, F.lit(10000))
+    out = mix_sample(docs, rates=(), stratum_col="lang",
+                     default_rate=0.5, rank_col=rk).toPandas()
+    assert len(out) == 400
+    assert 0.35 < out["kept"].mean() < 0.65
+    with pytest.raises(ValueError, match="duplicate strata"):
+        mix_sample(docs, rates=(("en", 0.5), ("en", 0.9)),
+                   stratum_col="lang", rank_col=rk)
