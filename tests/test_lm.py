@@ -75,3 +75,19 @@ def test_scoring_join_is_broadcast(spark):
     # shuffle-JOINED on token
     assert "SortMergeJoin [token" not in plan
     assert "ShuffledHashJoin [token" not in plan
+
+
+def test_null_norm_pinned_as_empty(spark):
+    """A NULL norm must behave exactly like an empty doc (pinned row,
+    never silently dropped) — without the coalesce in _tokens the row
+    would vanish from the output entirely while the DuckDB twin keeps
+    it, and the never-discard contract would break for any caller
+    that bypasses norm_text_col's coalesce."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "")],
+        "doc_id long, norm string")
+    out = {r["doc_id"]: r for r in lm_score(df, v=2).collect()}
+    assert len(out) == 3
+    for d in (2, 3):
+        assert (out[d]["n_tok"], out[d]["mean_logp"],
+                out[d]["ppl"]) == (0, 0.0, 1.0)
