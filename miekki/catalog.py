@@ -110,6 +110,21 @@ class HadoopCatalog(Catalog):
                   partition_by: list[str] | None = None) -> None:
         d = self._dir(name)
         os.makedirs(d, exist_ok=True)
+        # crash-retry hygiene: a crash between the data write and the
+        # manifest flip leaves an unreferenced data_* dir that the
+        # post-flip cleanup (which only removes the PREVIOUS manifest
+        # target) would never reclaim — a retry loop would leak disk
+        # without bound. Any data_* dir not named by the current
+        # manifest is garbage by construction (single-writer contract),
+        # so sweep them before writing the new one.
+        current = None
+        if os.path.exists(self._manifest(name)):
+            with open(self._manifest(name)) as f:
+                current = json.load(f)["data"]
+        for entry in os.listdir(d):
+            if (entry.startswith("data_") and entry != current
+                    and os.path.isdir(os.path.join(d, entry))):
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
         data = f"data_{run_id}_{uuid.uuid4().hex[:8]}"
         path = os.path.join(d, data)
         bucket_meta = None

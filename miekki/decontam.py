@@ -110,9 +110,12 @@ def canonical_url_duck(expr: str) -> str:
             f" '/+$', '')")
     path_part = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
     query = f"regexp_extract({u0}, '\\?([^#]*)', 1)"
+    # starts_with, NOT LIKE: in LIKE 'utm_%' the '_' is a single-char
+    # wildcard, which would also drop non-tracking params like
+    # 'utmx=1' that Spark's startswith keeps (cross-engine divergence)
     params = (
         f"list_filter(str_split({query}, '&'),"
-        f" p -> p <> '' AND NOT p LIKE 'utm_%'"
+        f" p -> p <> '' AND NOT starts_with(p, 'utm_')"
         f" AND NOT regexp_matches(p, '{TRACKING_KEY_RE}'))")
     # coalesce: DuckDB yields NULL (not '') when every param is
     # filtered out, and NULL would poison the final || concat
@@ -131,7 +134,10 @@ def canonical_url_py(url: str) -> str:
     import re
 
     u0 = re.sub("#.*", "", url.strip())
-    if "://" not in u0:
+    # the absolute-URL test runs on the ORIGINAL trimmed string, like
+    # the Spark/DuckDB twins — testing u0 would branch differently
+    # when '://' appears only inside the fragment
+    if "://" not in url.strip():
         return url.strip().lower()
     m = re.match(SCHEME_RE, u0)
     scheme = m.group(1).lower() if m else ""

@@ -4,9 +4,11 @@ watermark/window primitives over the events table.
 
 The batch kernel (``incremental_dedup_batch``) reuses the batch
 stages verbatim — they are batch-agnostic DataFrame transforms. The
-streaming wrapper is readStream → withWatermark → foreachBatch; state
-(signatures + labels) lives in the catalog, so the stream restarts
-from its checkpoint AND the catalog stays the source of truth.
+streaming wrapper is readStream → foreachBatch (no watermark — it
+would be inert without a stateful operator; late pages are accepted
+by design, bseq latest-wins); state (signatures + labels) lives in
+the catalog, so the stream restarts from its checkpoint AND the
+catalog stays the source of truth.
 """
 
 from __future__ import annotations
@@ -24,8 +26,8 @@ from miekki.stages.lsh import band_table, star_edges
 
 
 # streaming state tables are hash-BUCKETED (r4, ROADMAP #5):
-# signatures by doc_id, bands by (band_id, band_hash), both into
-# STREAM_STATE_PARTS buckets. catalog.append keeps the bucket layout,
+# signatures by doc_id, bands by (band_id, band_hash), labels by
+# doc_id, all into STREAM_STATE_PARTS buckets. catalog.append keeps the bucket layout,
 # so every history-side join on the bucket keys is exchange-free at
 # any state size: the per-batch semi-joins broadcast the batch's keys
 # in the common case, and the giant-batch fallback exchanges ONLY the
@@ -83,11 +85,16 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
 
     All broadcasts are O(batch): bucket keys ≤ bands·|batch|, endpoint
     ids ≤ 2·|candidate edges|; past 5M rows each semi-join falls back
-    to shuffled form independently — and because both state tables
-    are bucketed on their join keys, even the fallback never shuffles
-    history: only the batch-side key set is exchanged (to the bucket
-    count). On Iceberg the same layout comes from hidden bucket
-    partitioning, with no session-catalog registration.
+    to shuffled form independently — and because all three state
+    tables are bucketed on their primary join keys (sigs + labels by
+    doc_id, bands by the band keys), the fallback never shuffles a
+    RAW history table: only the batch-side key set is exchanged (to
+    the bucket count), except the touched-cluster membership lookup,
+    which on the fallback path exchanges the per-doc FOLDED label
+    frame (16 B/doc) on cluster_id — the one residual history-sized
+    exchange, skinny and paid only by giant backfill batches. On
+    Iceberg the same layout comes from hidden bucket partitioning,
+    with no session-catalog registration.
 
     Returns the updated full label view (lazy merge-on-read).
     """
@@ -165,29 +172,31 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
              .select("src", "dst").localCheckpoint())
 
     if catalog.exists("stream_labels"):
-        raw = catalog.read("stream_labels")
+        # fold the label delta ONCE per doc (min = latest, see
+        # read_stream_labels); the table is bucketed by doc_id so the
+        # fold is Sort-only — no Exchange — and both consumers below
+        # reuse the folded one-skinny-row-per-doc frame
+        cur = (catalog.read("stream_labels")
+               .groupBy("doc_id")
+               .agg(F.min("cluster_id").alias("cluster_id")))
         ep = (edges.select(F.col("src").alias("doc_id"))
               .unionByName(edges.select(F.col("dst").alias("doc_id")))
               .distinct())
         # ep ⊆ need, so need's broadcast-size decision covers it
         ep_side = F.broadcast(ep) if need_small else ep
-        # current clusters of the endpoints: min over their delta rows
-        # is their latest label (see read_stream_labels)
-        touched_clusters = (raw.join(ep_side, "doc_id", "left_semi")
-                            .groupBy("doc_id")
-                            .agg(F.min("cluster_id").alias("cluster_id"))
+        # current clusters of the endpoints — the doc_id semi-join
+        # rides the bucketing, one-sided at any batch size
+        touched_clusters = (cur.join(ep_side, "doc_id", "left_semi")
                             .select("cluster_id").distinct())
-        # all members of touched clusters. A delta row (d, C) with C in
-        # touched_clusters implies C is d's LATEST label: C is some
-        # endpoint's current cluster id, so C never merged away; and a
-        # doc leaves C only if all of C does (components merge whole).
-        # Hence this semi-join is complete AND exact — two O(history)
-        # columnar scans, zero O(history) shuffles.
+        # all members of touched clusters: cur IS each doc's latest
+        # label, so this semi-join is exact by construction. On the
+        # giant-batch fallback this is the ONE residual history
+        # exchange (the folded 16 B/doc frame, on cluster_id — the
+        # raw delta table is never shuffled); the broadcast path has
+        # zero history shuffles.
         tc_side = (F.broadcast(touched_clusters) if need_small
                    else touched_clusters)
-        affected = (raw.join(tc_side, "cluster_id", "left_semi")
-                    .groupBy("doc_id")
-                    .agg(F.min("cluster_id").alias("cluster_id")))
+        affected = cur.join(tc_side, "cluster_id", "left_semi")
         label_edges = (affected
                        .where(F.col("doc_id") != F.col("cluster_id"))
                        .select(F.col("doc_id").alias("src"),
@@ -214,7 +223,11 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
     if catalog.exists("stream_labels"):
         catalog.append("stream_labels", changed)
     else:
-        catalog.overwrite("stream_labels", changed, run_id)
+        # bucketed by doc_id: the per-doc min fold (read path and
+        # compaction) and the endpoint semi-join above stay
+        # exchange-free; appends preserve the layout
+        catalog.overwrite("stream_labels", changed, run_id,
+                          bucket_by=(STREAM_STATE_PARTS, ["doc_id"]))
     return read_stream_labels(catalog)
 
 
@@ -242,6 +255,13 @@ def compact_stream_state(catalog: Catalog, run_id: str = "compact") -> None:
         catalog.overwrite("stream_signatures", sigs, run_id,
                           bucket_by=(STREAM_STATE_PARTS, ["doc_id"]))
     if catalog.exists("stream_bands"):
+        # unlike the sigs block, this per-doc window CANNOT ride the
+        # band table's (band_id, band_hash) bucketing — compaction of
+        # bands inherently pays one full exchange by doc_id plus the
+        # rewrite's re-bucketing. That cost is amortized 1/compact_every
+        # and is the price of keeping the READ path (every batch)
+        # exchange-free on the band keys; a dual-layout copy would
+        # double state storage for no read-path gain.
         w = Window.partitionBy("doc_id")
         bands = (catalog.read("stream_bands")
                  .withColumn("_mx", F.max("bseq").over(w))
@@ -257,7 +277,8 @@ def compact_stream_state(catalog: Catalog, run_id: str = "compact") -> None:
                   .agg(F.min("cluster_id").alias("cluster_id"),
                        F.max("bseq").alias("bseq"))
                   .localCheckpoint())
-        catalog.overwrite("stream_labels", labels, run_id)
+        catalog.overwrite("stream_labels", labels, run_id,
+                          bucket_by=(STREAM_STATE_PARTS, ["doc_id"]))
 
 
 def run_incremental_stream(spark: SparkSession, catalog: Catalog,
@@ -270,8 +291,12 @@ def run_incremental_stream(spark: SparkSession, catalog: Catalog,
     (sandbox/test mode); a production stream drops it and runs
     continuously. Every ``compact_every`` applied batches the stream
     state is compacted in-line (compact_stream_state)."""
-    stream = (spark.readStream.schema(CORPUS).parquet(source_dir)
-              .withWatermark("warc_ts", "1 day"))
+    # no withWatermark: a watermark only gates STATEFUL operators
+    # (windowed aggs, applyInPandasWithState); on a foreachBatch-only
+    # stream it is inert and would merely suggest late-arrival
+    # filtering that doesn't happen. Dedup intentionally accepts
+    # arbitrarily late pages — bseq latest-wins handles re-crawls.
+    stream = spark.readStream.schema(CORPUS).parquet(source_dir)
 
     def process(batch_df: DataFrame, batch_id: int):
         """foreachBatch is at-least-once: a ledger row per applied
@@ -351,7 +376,11 @@ def sessionize_events_stream(events_stream: DataFrame,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_ms = gap_minutes * 60 * 1000
+    # the gap rule is pinned by the batch twin, which compares
+    # SECOND-truncated epochs (ts cast to long) — compare the same
+    # way here or the two operators would disagree on sub-second
+    # boundary gaps (e.g. .100 vs .900 across an exact gap)
+    gap_s = gap_minutes * 60
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -376,13 +405,15 @@ def sessionize_events_stream(events_stream: DataFrame,
         for t, v in zip(ts_ms, vals):
             if start is None:
                 start, last, n, sv = int(t), int(t), 1, float(v)
-            elif t - last > gap_ms:
+            elif t // 1000 - last // 1000 > gap_s:
                 out.append((start, last, n, sv))
                 start, last, n, sv = int(t), int(t), 1, float(v)
             else:
                 last, n, sv = int(t), n + 1, sv + float(v)
         state.update((start, last, n, sv))
-        state.setTimeoutTimestamp(last + gap_ms)
+        # earliest ms instant whose truncated second exceeds the gap —
+        # matches the second-truncated merge rule above exactly
+        state.setTimeoutTimestamp((last // 1000 + gap_s + 1) * 1000)
         if out:
             yield pd.DataFrame({
                 "user_id": [user_id] * len(out),

@@ -69,7 +69,14 @@ from miekki.decontam import HOSTPORT_RE
 # --- shared dialect-portable PII patterns ----------------------------
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-PHONE_RE = "\\(?[0-9]{3}\\)?[- ][0-9]{3}[- ][0-9]{4}"
+# boundary-anchored (like IPV4_RE): without anchors the pattern
+# matches INSIDE longer digit runs ('1234-567-89012' would yield a
+# mangled partial redaction and a spurious n_phones count). The area
+# code needs an alternation because \b cannot sit before an OPTIONAL
+# '(' (space-paren is not a word boundary); \b and (?:) are portable
+# across Java regex and DuckDB's RE2, unlike lookbehind.
+PHONE_RE = ("(?:\\([0-9]{3}\\)|\\b[0-9]{3})"
+            "[- ][0-9]{3}[- ][0-9]{4}\\b")
 
 # redaction applies patterns in THIS order (emails before ips/phones:
 # an address must vanish whole before the digit-oriented passes run)
