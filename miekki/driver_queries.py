@@ -1150,10 +1150,11 @@ def q_media_features(spark, sf_dir):
 
 
 def q_media_frames(spark, sf_dir):
-    """X13 — 1→N frame fan-out contract (r3): every video yields
-    between 1 and max_frames frames with dense 0..n-1 indices and
-    non-empty payloads; row set == the video subset of documents
-    (DuckDB recomputes doc_id%3 == 2)."""
+    """X13 — 1→N frame fan-out contract (r3): every NON-EMPTY video
+    yields between 1 and max_frames frames with dense 0..n-1 indices
+    and non-empty payloads; row set == the non-empty video subset of
+    documents (DuckDB recomputes doc_id%3 == 2 and the length gate —
+    empty payloads yield no frames by pinned spec)."""
     from miekki.multimodal import sample_frames
 
     frames = sample_frames(_media(spark, sf_dir))
@@ -1546,9 +1547,12 @@ ORACLE_SQL: dict[str, str] = {
     "media_features": ("SELECT doc_id AS media_id, true AS dim_ok,"
                        " true AS finite_ok FROM documents"),
     "media_frames": (
+        # empty-payload videos yield no frames (pinned in
+        # sample_frames), so the expected row set excludes them
         "SELECT doc_id AS media_id, true AS count_ok,"
         " true AS idx_dense, true AS payload_nonempty FROM documents"
-        " WHERE ((doc_id % 3) + 3) % 3 = 2"),
+        " WHERE ((doc_id % 3) + 3) % 3 = 2"
+        " AND length(coalesce(text, '')) > 0"),
 }
 
 

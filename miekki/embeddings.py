@@ -34,6 +34,18 @@ def _with_norm(df: DataFrame, vec_col: str, out_vec: str, out_norm: str) -> Data
               .where(F.col(out_norm) > 0))
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail for all three ANN paths: rank by (cosine
+    DESC, neighbor_id) per query — ONE definition so a tie-break or
+    rounding change can't silently diverge between brute/LSH/IVF."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
+
+
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(query_id, neighbor_id, rank, cosine) — exact top-k by cosine,
@@ -45,11 +57,7 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     scored = (cand.join(F.broadcast(q))
               .where(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cosine", F.expr(COS)))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank",
-                    F.round("cosine", 6).alias("cosine")))
+    return _rank_topk(scored, k)
 
 
 def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
@@ -85,10 +93,22 @@ def _dense_matrix(arr) -> np.ndarray | None:
 
 def _densify(arr) -> np.ndarray:
     dense = _dense_matrix(arr)
-    if dense is None:                       # ragged fallback (cold)
+    if dense is None:                       # ragged/null fallback (cold)
+        # degrade, don't crash (the fallback's reason to exist): a
+        # NULL/empty embedding becomes a zero vector (norm 0 — the
+        # _with_norm filter drops it from results downstream), and
+        # ragged rows are padded/truncated to the first non-empty
+        # row's dim. np.stack would raise on exactly these inputs.
         rows = arr.to_pylist()
-        dense = (np.stack([np.asarray(v, dtype=np.float64) for v in rows])
-                 if rows else np.empty((0, 0)))
+        if not rows:
+            return np.empty((0, 0))
+        dim = next((len(v) for v in rows if v), 0)
+        dense = np.zeros((len(rows), dim), dtype=np.float64)
+        for i, v in enumerate(rows):
+            if v:
+                a = np.asarray(v, dtype=np.float64)
+                n = min(dim, len(a))
+                dense[i, :n] = a[:n]
     return dense
 
 
@@ -187,11 +207,7 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
               .where(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cosine", F.expr(COS))
               .dropDuplicates(["query_id", "neighbor_id"]))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank",
-                    F.round("cosine", 6).alias("cosine")))
+    return _rank_topk(scored, k)
 
 
 def kmeans_centroids(vectors: DataFrame, n_centroids: int = 32,
@@ -209,18 +225,32 @@ def kmeans_centroids(vectors: DataFrame, n_centroids: int = 32,
     tbl = (vectors.select(id_col, vec_col).orderBy(id_col)
            .limit(sample).toArrow())
     m = _densify(tbl.column(vec_col))       # flat-buffer, no row loop
+    if len(m) == 0:
+        raise ValueError("kmeans_centroids: no vectors to fit on")
+    # a tiny table must not crash rng.choice(replace=False); fewer
+    # centroids than asked is the correct degraded quantizer
+    n_centroids = min(n_centroids, len(m))
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     rng = np.random.Generator(np.random.PCG64(seed))
     c = m[rng.choice(len(m), size=n_centroids, replace=False)]
     for _ in range(iters):
         sims = m @ c.T                        # cosine == dot (unit)
         assign = sims.argmax(axis=1)
+        empty = []
         for j in range(n_centroids):
             members = m[assign == j]
             if len(members):
                 c[j] = members.mean(axis=0)
-            else:                             # re-seed empty cell
-                c[j] = m[sims.max(axis=1).argmin()]
+            else:
+                empty.append(j)
+        if empty:
+            # DISTINCT farthest points, one per empty cell: reseeding
+            # every empty cell from the single global argmin would
+            # plant duplicate centroids that stay tied (and therefore
+            # empty) forever, silently shrinking the effective k
+            far = np.argsort(sims.max(axis=1))[:len(empty)]
+            for j, p in zip(empty, far):
+                c[j] = m[p]
         c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
     return c
 
@@ -268,11 +298,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     scored = (cand.join(F.broadcast(q), "cell")
               .where(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cosine", F.expr(COS)))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank",
-                    F.round("cosine", 6).alias("cosine")))
+    return _rank_topk(scored, k)
 
 
 def plant_near_dups(vectors: DataFrame, n: int = 50,

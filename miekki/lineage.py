@@ -25,21 +25,30 @@ class LineageLog:
     def __init__(self, catalog: Catalog):
         self.catalog = catalog
 
-    def is_done(self, stage: str, input_snapshot: str, config_hash: str) -> bool:
+    def done_snapshots(self, stage: str, input_snapshot: str,
+                       config_hash: str) -> set[str]:
+        """Output snapshots of matching 'done' rows. Resume must check
+        the table's CURRENT snapshot is one of these: a done row alone
+        proves the stage once ran, not that the table still holds its
+        output — run(cfg A), run(cfg B), run(cfg A) again would
+        otherwise skip the stage and silently serve B's table."""
         if not self.catalog.exists(LINEAGE_TABLE):
-            return False
+            return set()
         df = self.catalog.read(LINEAGE_TABLE)
-        return bool(df.where(
+        rows = (df.where(
             (F.col("stage") == stage)
             & (F.col("input_snapshot") == input_snapshot)
             & (F.col("config_hash") == config_hash)
-            & (F.col("status") == "done")).limit(1).count())
+            & (F.col("status") == "done"))
+            .select("output_snapshot").collect())
+        return {r[0] for r in rows if r[0] is not None}
 
     def mark(self, run_id: str, stage: str, input_snapshot: str,
-             config_hash: str, status: str) -> None:
+             config_hash: str, status: str,
+             output_snapshot: str | None = None) -> None:
         spark = self.catalog.spark
         row = [(run_id, stage, input_snapshot, config_hash, status,
-                datetime.now(timezone.utc))]
+                output_snapshot, datetime.now(timezone.utc))]
         self.catalog.append(LINEAGE_TABLE,
                             spark.createDataFrame(row, schemas.LINEAGE))
 
@@ -63,7 +72,10 @@ def emit_partition_metrics(catalog: Catalog, run_id: str, stage: str,
         F.lit(stage).alias("stage"),
         F.col("partition_id").cast("int"),
         F.col("rows_out").cast("long"),
-        F.round(F.lit(total_bytes) * F.col("rows_out")
+        # double math: long*long would wrap negative past 2^63 (a PB
+        # table times 1e7 rows ≈ 1e22); the proportional attribution
+        # is approximate anyway, so double precision is the contract
+        F.round(F.lit(float(total_bytes)) * F.col("rows_out")
                 / F.greatest(w_total, F.lit(1)))
          .cast("long").alias("bytes_out"),
         F.lit(wall_ms).cast("long").alias("wall_ms"),
@@ -90,8 +102,10 @@ class StageRunner:
                     bucket_by: tuple[int, list[str]] | None = None) -> DataFrame:
         """build: () -> DataFrame. Returns the (possibly pre-existing)
         table contents."""
-        if self.lineage.is_done(stage, input_snapshot, self.config_hash) \
-                and self.catalog.exists(table):
+        done = self.lineage.done_snapshots(stage, input_snapshot,
+                                           self.config_hash)
+        if (done and self.catalog.exists(table)
+                and self.catalog.snapshot_id(table) in done):
             self.skipped.append(stage)
             return self.catalog.read(table)
         t0 = time.time()
@@ -104,6 +118,7 @@ class StageRunner:
             emit_partition_metrics(self.catalog, self.run_id, stage,
                                    table, wall_ms)
         self.lineage.mark(self.run_id, stage, input_snapshot,
-                          self.config_hash, "done")
+                          self.config_hash, "done",
+                          output_snapshot=self.catalog.snapshot_id(table))
         self.executed.append(stage)
         return self.catalog.read(table)

@@ -155,7 +155,10 @@ def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
             plen = np.diff(offs).astype(np.int64)
             n_frames = (2 + ((h >> np.uint64(22)) & np.uint64(0x7))
                         ).astype(np.int64)
-            n = np.minimum(n_frames, max_frames)
+            # an EMPTY payload yields no frames at all (pinned): there
+            # are no bytes to sample, and emitting zero-length frame
+            # rows would violate the payload_nonempty driver contract
+            n = np.where(plen > 0, np.minimum(n_frames, max_frames), 0)
             step = np.maximum(1, plen // np.maximum(n, 1))
             # one output row per (video, frame_idx): arange-per-row via
             # the repeat/cumsum trick

@@ -33,6 +33,20 @@ def candidate_edges(signatures: DataFrame, cfg: DedupConfig,
     return edges
 
 
+def _doc_meta(docs, corpus):
+    """(doc_id, url, warc_ts) with EXACTLY one row per doc: url is
+    T0's primary key, but a dirty input carrying the same url twice
+    (recrawl appended instead of upserted) would otherwise fan out
+    quadratically through this join and emit duplicate label rows per
+    doc_id. Pin min(warc_ts) per url (deterministic; the canonical
+    tie-break prefers the earliest crawl anyway) and fold docs to one
+    row per doc_id (url is a function of doc_id — same hash preimage)."""
+    meta_ts = (corpus.select("url", "warc_ts")
+               .groupBy("url").agg(F.min("warc_ts").alias("warc_ts")))
+    return (docs.select("doc_id", "url").dropDuplicates(["doc_id"])
+            .join(meta_ts, "url"))
+
+
 def dedup_labels(corpus: DataFrame, cfg: DedupConfig = DedupConfig(),
                  extra_edges: list[DataFrame] | None = None,
                  use_simhash: bool = True,
@@ -62,8 +76,7 @@ def dedup_labels(corpus: DataFrame, cfg: DedupConfig = DedupConfig(),
         edges = edges.unionByName(ex, allowMissingColumns=True)
     edge_pairs = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     labels = cc_labels(edge_pairs, docs.select("doc_id"))
-    meta = docs.select("doc_id", "url").join(
-        corpus.select("url", "warc_ts"), "url")
+    meta = _doc_meta(docs, corpus)
     return select_canonical(labels, meta)
 
 
@@ -142,9 +155,7 @@ def run(spark, catalog, cfg: DedupConfig = DedupConfig(),
     def build_labels():
         pairs = edges.select("src", "dst").dropDuplicates(["src", "dst"])
         labels = cc_labels(pairs, docs.select("doc_id"))
-        meta = docs.select("doc_id", "url").join(
-            corpus.select("url", "warc_ts"), "url")
-        return select_canonical(labels, meta)
+        return select_canonical(labels, _doc_meta(docs, corpus))
 
     labels_snap = f"{edges_snap}+{catalog.snapshot_id('candidate_edges')}"
     labels = runner.materialize("cluster_labels", "cluster_labels",

@@ -35,15 +35,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     r = (right.select(on, ts_col, *value_cols)
               .withColumn(_SIDE, F.lit(0)))
     u = l.unionByName(r, allowMissingColumns=True)
+    # carry the latest right row as ONE struct, not per-column lasts:
+    # per-column last(col, ignorenulls) would (a) stitch fields from
+    # DIFFERENT right rows and (b) replace a legitimately-NULL latest
+    # value with an older non-null one — both diverge from ASOF
+    # semantics (attach the one latest row, NULLs and all)
+    payload = F.when(F.col(_SIDE) == 0,
+                     F.struct(*[F.col(c) for c in value_cols]))
     # right rows sort BEFORE left rows at equal ts (side 0 < 1), so
-    # b.ts == a.ts matches — the <= semantics
-    w = (Window.partitionBy(on).orderBy(ts_col, _SIDE)
+    # b.ts == a.ts matches — the <= semantics; among right rows tied
+    # on (key, ts) the greatest value tuple wins (pinned — without
+    # the payload in the sort key the winner would vary with
+    # partitioning, breaking determinism-across-partitionings)
+    w = (Window.partitionBy(on).orderBy(ts_col, _SIDE, payload)
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = [
-        F.last(F.when(F.col(_SIDE) == 0, F.col(c)), ignorenulls=True)
-         .over(w).alias(c + suffix)
-        for c in value_cols
-    ]
+    latest = F.last(payload, ignorenulls=True).over(w)
+    carried = [latest[c].alias(c + suffix) for c in value_cols]
     return (u.select("*", *carried)
              .where(F.col(_SIDE) == 1)
              .drop(_SIDE))

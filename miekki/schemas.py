@@ -79,6 +79,11 @@ LINEAGE = T.StructType([
     T.StructField("input_snapshot", T.StringType(), False),
     T.StructField("config_hash", T.StringType(), False),
     T.StructField("status", T.StringType(), False),
+    # snapshot id of the table the stage WROTE ('done' rows only):
+    # resume validates the table still carries this snapshot, so a
+    # later run with a different config can't leave a stale done row
+    # pointing at contents it didn't produce
+    T.StructField("output_snapshot", T.StringType(), True),
     T.StructField("ts", T.TimestampType(), False),
 ])
 

@@ -41,3 +41,27 @@ def test_asof_join_no_single_partition_exchange(spark):
                     on="user_id", ts_col="ts", value_cols=["value"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_asof_attaches_one_coherent_row_nulls_and_ties(spark):
+    """ASOF semantics: attach the ONE latest right row — a NULL value
+    on that row stays NULL (never backfilled from an older row), both
+    value columns come from the same row, and ties on (key, ts) break
+    deterministically by greatest value tuple."""
+    from miekki.relops import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 3)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, "a"),     # older, non-null
+         (1, 2, None, "b"),    # latest before ts=10 and ts=3: NULL value
+         (1, 2, None, "c")],   # tie on (k, ts): greatest tuple wins
+        "k long, ts long, v double, tag string")
+    out = {r["ts"]: r for r in asof_join(
+        left, right, on="k", ts_col="ts",
+        value_cols=["v", "tag"]).collect()}
+    # NULL v from the latest row is preserved; tag comes from the SAME
+    # row (tie-broken to the greatest (v, tag) tuple = (NULL?, 'c') —
+    # struct ordering puts null v first, so 'c' wins among v-null rows)
+    for ts in (10, 3):
+        assert out[ts]["v_asof"] is None
+        assert out[ts]["tag_asof"] == "c"

@@ -99,3 +99,26 @@ def test_metrics_bytes_out_real(spark, corpus_df, tmp_path):
         want = cat.table_bytes(table)
         got = int(sums[stage])
         assert abs(got - want) <= m[m.stage == stage].shape[0], (got, want)
+
+
+def test_config_alternation_never_serves_stale_table(
+        spark, corpus_df, tmp_path_factory):
+    """run(cfg A) → run(cfg B) → run(cfg A) again: A's old 'done'
+    lineage rows still exist, but the tables now hold B's output —
+    the third run must RECOMPUTE, not skip and silently serve B's
+    contents (the done row records the output snapshot; resume
+    validates the table still carries it)."""
+    root = str(tmp_path_factory.mktemp("cfg_alt"))
+    cat = HadoopCatalog(spark, root)
+    cat.overwrite("corpus", corpus_df, run_id="ingest")
+    cfg_a = DedupConfig()
+    cfg_b = DedupConfig(shingle_k=7)
+    a1 = run(spark, cat, cfg_a, run_id="a1")
+    assert a1["executed"] == STAGES
+    la = _labels_pdf(a1)
+    b1 = run(spark, cat, cfg_b, run_id="b1")
+    assert b1["executed"] == STAGES        # config hash differs
+    a2 = run(spark, cat, cfg_a, run_id="a2")
+    assert a2["executed"] == STAGES, (
+        "stale done rows must not skip stages over B's tables")
+    pd.testing.assert_frame_equal(la, _labels_pdf(a2))
