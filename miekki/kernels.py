@@ -39,7 +39,6 @@ def fused_schema(id_type: str = "long") -> str:
 # the kernel 1.45x faster single-core AND flat under 4-way parallelism
 # where 200k-value chunks degrade 1.6x (memory bandwidth saturates) —
 # the r2 scaling-efficiency fix for the signature stage.
-_PERM_BLOCK = 32
 _MAX_CHUNK_VALUES = 32_000
 
 
@@ -304,8 +303,19 @@ def _utf8_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     if arr.null_count:
         raise ValueError("norm_text must be non-null (normalize() pins"
                          " NULL text to '')")
+    # offset width follows the Arrow type (the _bin_view guard, ADVICE
+    # r3): Spark emits large_string when
+    # spark.sql.execution.arrow.useLargeVarTypes=true, and reading its
+    # int64 offsets as int32 would silently hash the WRONG bytes into
+    # every signature — corrupt results, no error
+    if pa.types.is_string(arr.type):
+        off_dtype: type = np.int32
+    elif pa.types.is_large_string(arr.type):  # pragma: no cover
+        off_dtype = np.int64
+    else:  # pragma: no cover
+        raise TypeError(f"_utf8_view: unsupported Arrow type {arr.type}")
     bufs = arr.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
         arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
     return data, offs - offs[0]

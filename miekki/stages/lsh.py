@@ -43,8 +43,11 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def star_edges(bucketed: DataFrame, key_cols: list[str], cfg: DedupConfig,
                id_col: str = "doc_id", salt_col: str = "salt") -> DataFrame:
-    """Generic two-level salted bucket→edges operator (reused by the
-    MinHash band pass and the exact-substring fingerprint pass).
+    """Generic two-level salted bucket→edges operator (the MinHash
+    band pass and streaming reuse it; the simhash and exact-substring
+    passes use sibling windowed pair generators — simhash._chain_pairs
+    and substr._chain_pairs_with_pos — which additionally carry chain
+    successors/positions that this min-only operator doesn't).
 
     Emits (src, dst) with src = bucket minimum < dst; linear in bucket
     size, bounded reducer groups at both levels.

@@ -39,8 +39,14 @@ def assert_nfc_sample(corpus: DataFrame, max_rows: int = 512,
     rows checked."""
     import unicodedata
 
+    # orderBy before limit: a bare limit() returns whichever
+    # partitions answer first, so the "deterministic sample" would
+    # actually vary across runs/partitionings — a sparsely non-NFC
+    # corpus could pass one run and fail the next. TakeOrdered on the
+    # text hash keeps it a cheap top-k, never a full sort.
     rows = (corpus.select(text_col)
             .where(F.col(text_col).isNotNull())
+            .orderBy(F.xxhash64(text_col), text_col)
             .limit(max_rows).collect())
     bad = [r[0][:60] for r in rows
            if not unicodedata.is_normalized("NFC", r[0])]

@@ -38,7 +38,20 @@ def signatures_from_text(docs_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
     compute_signatures(with_shingles(...)) — parity pinned in
     tests/test_kernels.py — while skipping the interpreted
     transform(sequence(...)) projection AND the shingle-array Arrow
-    transfer (the r1 bench's largest cost)."""
+    transfer (the r1 bench's largest cost).
+
+    hash_fn='md5' (the DuckDB-comparable mode) routes through the
+    two-step SQL path: the fused kernel hashes shingles with xxh64
+    only, and silently using it would produce a MIXED-hash run (md5
+    doc ids + xxh64 shingle hashes) that matches neither oracle."""
+    if cfg.hash_fn != "xxhash64":
+        from miekki.stages.normalize import with_shingles
+
+        shing = with_shingles(docs_norm, cfg)
+        # re-attach n_shingles to match fused_schema (cold path — the
+        # md5 mode exists for DuckDB comparison, not production)
+        return (compute_signatures(shing, cfg)
+                .join(shing.select("doc_id", "n_shingles"), "doc_id"))
     return docs_norm.select("doc_id", "norm_text").mapInArrow(
         make_text_signature_kernel(cfg), fused_schema(id_spark_type(cfg))
     )

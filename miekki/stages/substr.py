@@ -187,8 +187,20 @@ def candidate_anchor_pairs(anchors: DataFrame, cfg: DedupConfig) -> DataFrame:
     # doc while staying partitioning-invariant.
     w = Window.partitionBy("src", "dst").orderBy(
         F.xxhash64("src_pos", "dst_pos"), "src_pos", "dst_pos")
-    return (pairs.withColumn("rn", F.row_number().over(w))
-                 .where(F.col("rn") <= MAX_ANCHORS_PER_PAIR).drop("rn"))
+    # drop exact duplicate anchors BEFORE the cap: the bucket-min row
+    # emits its first CHAIN_SUCCESSORS neighbors as chain pairs AND
+    # the same rows as star pairs — byte-identical, adjacent under
+    # this ordering. Without the lag-filter they consume anchor-budget
+    # slots (a pair could hold 2 distinct anchors instead of 4,
+    # dropping a containment edge its crowded-out anchor witnessed)
+    # and get clipped/joined/byte-verified twice. Both window passes
+    # share one (exchange, sort) — same partitioning and order.
+    here = F.struct("src_pos", "dst_pos")
+    deduped = (pairs.withColumn("_prev", F.lag(here).over(w))
+               .where(F.col("_prev").isNull() | (here != F.col("_prev")))
+               .drop("_prev"))
+    return (deduped.withColumn("rn", F.row_number().over(w))
+                   .where(F.col("rn") <= MAX_ANCHORS_PER_PAIR).drop("rn"))
 
 
 def make_verify_kernel(cfg: DedupConfig):

@@ -83,9 +83,12 @@ def payload_hashes(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
                            out=pow_b[1:])
     s = np.zeros(n + 1, dtype=np.uint64)
     np.add.accumulate(b * pow_b, out=s[1:])
-    pow_binv = np.empty(n, dtype=np.uint64)
+    # n+1 entries: a trailing EMPTY row has start == n (offs[-2] ==
+    # offs[-1] == n), and indexing a length-n table there crashed the
+    # whole Arrow task whenever an empty payload landed last in a batch
+    pow_binv = np.empty(n + 1, dtype=np.uint64)
     pow_binv[0] = 1
-    np.multiply.accumulate(np.full(n - 1, _ROLL_BASE_INV, dtype=np.uint64),
+    np.multiply.accumulate(np.full(n, _ROLL_BASE_INV, dtype=np.uint64),
                            out=pow_binv[1:])
     h = (s[offs[1:]] - s[starts]) * pow_binv[starts]
     return fmix64(h ^ lens)

@@ -132,3 +132,57 @@ def test_shingle_hash_rows_matches_sql_semantics():
                 for s in char_shingles(t, k)} or {xxh64_bytes(b"", 42)}
         assert got == want, t
         assert counts[i] == len(want)
+
+
+def test_payload_hashes_trailing_empty_row():
+    """A batch whose LAST row is an empty payload indexes the inverse
+    power table at n — sized n+1 so the whole Arrow task doesn't die
+    (it crashed before r4's fix whenever an empty doc landed last)."""
+    import numpy as np
+
+    from miekki.substr_kernels import payload_hashes
+
+    data = np.frombuffer(b"abc", dtype=np.uint8)
+    trail = payload_hashes(data, np.array([0, 3, 3], dtype=np.int64))
+    lead = payload_hashes(data, np.array([0, 0, 3], dtype=np.int64))
+    # same content hashes regardless of where the empty row sits
+    assert trail[0] == lead[1] and trail[1] == lead[0]
+
+
+def test_utf8_view_large_string_offsets():
+    """large_string carries int64 offsets; reading them as int32
+    silently hashes the wrong bytes into every signature (the
+    _bin_view guard, applied to the text view)."""
+    import pyarrow as pa
+
+    from miekki.kernels import _utf8_view
+
+    for t in (pa.string(), pa.large_string()):
+        data, offs = _utf8_view(pa.array(["hello", "world"], type=t))
+        assert list(offs) == [0, 5, 10], t
+        assert bytes(data[:5]) == b"hello", t
+
+
+def test_md5_mode_signatures_consistent(spark):
+    """DedupConfig(hash_fn='md5') must route signatures_from_text
+    through the SQL shingle path: the fused kernel only speaks xxh64,
+    and silently using it would mix md5 doc ids with xxh64 shingle
+    hashes (matches neither oracle)."""
+    from miekki.config import DedupConfig
+    from miekki.stages.normalize import with_shingles
+    from miekki.stages.signatures import (compute_signatures,
+                                          signatures_from_text)
+
+    cfg = DedupConfig(hash_fn="md5")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "lorem ipsum dolor sit amet " * 3)
+         for i in range(20)], ["doc_id", "norm_text"])
+    fused = {r["doc_id"]: r for r in
+             signatures_from_text(docs, cfg).collect()}
+    two_step = {r["doc_id"]: r for r in
+                compute_signatures(with_shingles(docs, cfg), cfg).collect()}
+    assert set(fused) == set(two_step)
+    for i in fused:
+        assert fused[i]["minhash"] == two_step[i]["minhash"]
+        assert fused[i]["simhash"] == two_step[i]["simhash"]
+        assert fused[i]["n_shingles"] > 0
