@@ -141,7 +141,10 @@ def main():
         sigs = signatures_from_text(docs_n, cfg)
         timed("signatures_fused", lambda: sigs.select(
             "doc_id", "n_shingles").agg({"n_shingles": "sum"}).collect())
-        sigs_ck = signatures_from_text(docs_n, cfg).localCheckpoint()
+        # checkpoint the SAME frame — rebuilding the plan from
+        # docs_n would run the Arrow signature kernel over the whole
+        # corpus one extra, untimed time
+        sigs_ck = sigs.localCheckpoint()
         timed("lsh_verify_edges", lambda: candidate_edges(sigs_ck, cfg).count())
 
     # warm python workers / codegen / Arrow paths on a tiny slice so
@@ -154,7 +157,8 @@ def main():
     # min-of-REPS with every rep reported — identical runs swing up
     # to 2x under this box's tenant load (BENCH/BASELINE.md), and the
     # minimum is this repo's established uncontended-wall estimator
-    reps = int(os.environ.get("MIEKKI_BENCH_E2E_REPS", "2"))
+    # clamp >= 1: reps=0 would crash min([]) and leave n_labels unbound
+    reps = max(1, int(os.environ.get("MIEKKI_BENCH_E2E_REPS", "2")))
     e2e_walls = []
     for i in range(reps):
         t0 = time.time()

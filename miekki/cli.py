@@ -82,6 +82,34 @@ def cmd_run(args):
     print(json.dumps(out))
 
 
+def _run_filter(spark, cat, cfg, args):
+    """Shared X24 funnel head for the filter and curate subcommands:
+    normalize -> filter_battery -> persist `filter_verdicts` and
+    `corpus_kept`. One definition so the two commands' persisted
+    tables can never silently diverge. Returns (corpus, docs,
+    kept_ids)."""
+    from pyspark.sql import functions as F
+
+    from miekki.exprs import doc_id_sql
+    from miekki.stages.normalize import normalize
+    from miekki.webstats import filter_battery
+
+    corpus = cat.read(args.corpus)
+    docs = normalize(corpus, cfg)
+    langs = tuple(s for s in args.langs.split(",") if s)
+    verdicts = filter_battery(docs, norm_col="norm_text",
+                              allowed_langs=langs)
+    cat.overwrite("filter_verdicts", verdicts, run_id=args.run_id)
+    kept_ids = (cat.read("filter_verdicts")
+                .where(F.col("keep")).select("doc_id"))
+    kept = (corpus
+            .withColumn("doc_id", F.expr(doc_id_sql("url", cfg)))
+            .join(kept_ids, "doc_id", "left_semi")
+            .drop("doc_id"))
+    cat.overwrite("corpus_kept", kept, run_id=args.run_id)
+    return corpus, docs, kept_ids
+
+
 def cmd_filter(args):
     """Run the web-corpus filter battery (X24) over the catalog's
     corpus table: writes `filter_verdicts` (doc_id, keep, reasons —
@@ -93,27 +121,12 @@ def cmd_filter(args):
     from pyspark.sql import functions as F
 
     from miekki.config import DedupConfig
-    from miekki.exprs import doc_id_sql
-    from miekki.stages.normalize import normalize
-    from miekki.webstats import filter_battery
 
     spark = _get_spark(args)
     cat = _get_catalog(spark, args)
     cfg = DedupConfig()
-    corpus = cat.read(args.corpus)
-    docs = normalize(corpus, cfg)
-    langs = tuple(s for s in args.langs.split(",") if s)
-    verdicts = filter_battery(docs, norm_col="norm_text",
-                              allowed_langs=langs)
-    cat.overwrite("filter_verdicts", verdicts, run_id=args.run_id)
-
+    _run_filter(spark, cat, cfg, args)
     v = cat.read("filter_verdicts")
-    kept_ids = v.where(F.col("keep")).select("doc_id")
-    kept = (corpus
-            .withColumn("doc_id", F.expr(doc_id_sql("url", cfg)))
-            .join(kept_ids, "doc_id", "left_semi")
-            .drop("doc_id"))
-    cat.overwrite("corpus_kept", kept, run_id=args.run_id)
 
     hist = {r["reasons"]: r["n"] for r in
             (v.where(~F.col("keep"))
@@ -151,29 +164,18 @@ def cmd_curate(args):
     from miekki.config import DedupConfig
     from miekki.exprs import doc_id_sql
     from miekki.pipeline import run
-    from miekki.stages.normalize import normalize
     from miekki.tiers import cluster_cap, mix_sample
-    from miekki.webstats import filter_battery, split_assign
+    from miekki.webstats import split_assign
 
     spark = _get_spark(args)
     cat = _get_catalog(spark, args)
     cfg = DedupConfig()
     t0 = time.time()
 
-    corpus = cat.read(args.corpus)
-    n_input = corpus.count()
-
     # 1. filter battery → keep/drop verdicts + surviving corpus
-    docs = normalize(corpus, cfg)
-    langs = tuple(s for s in args.langs.split(",") if s)
-    verdicts = filter_battery(docs, norm_col="norm_text",
-                              allowed_langs=langs)
-    cat.overwrite("filter_verdicts", verdicts, run_id=args.run_id)
-    kept_ids = cat.read("filter_verdicts").where(F.col("keep")) \
-        .select("doc_id")
-    kept = (corpus.withColumn("doc_id", F.expr(doc_id_sql("url", cfg)))
-            .join(kept_ids, "doc_id", "left_semi").drop("doc_id"))
-    cat.overwrite("corpus_kept", kept, run_id=args.run_id)
+    # (shared head with the filter subcommand — one definition)
+    corpus, docs, kept_ids = _run_filter(spark, cat, cfg, args)
+    n_input = corpus.count()
     n_filtered = cat.read("corpus_kept").count()
 
     # 1b. optional unigram-LM scoring (X30) over the full input —
@@ -230,7 +232,11 @@ def cmd_curate(args):
                  labels.select("doc_id", "url"), weights=weights,
                  key_col="url"), "doc_id")
              .join(cat.read("doc_tiers"), "doc_id")
-             .join(kept.withColumn(
+             # read the PERSISTED corpus_kept, not the `kept` plan:
+             # the plan would re-scan the raw corpus, re-hash every
+             # url and re-run the verdict semi-join whose result is
+             # already parquet in the catalog
+             .join(cat.read("corpus_kept").withColumn(
                  "doc_id", F.expr(doc_id_sql("url", cfg)))
                  .select("doc_id", "warc_ts", "text", "lang"), "doc_id")
              .select("doc_id", "url", "warc_ts", "text", "lang",

@@ -148,7 +148,10 @@ def feature_weights(target: DataFrame, raw: DataFrame,
 
 
 def default_rank_col() -> F.Column:
-    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(RANK_BUCKETS))
+    # domain-tagged (see tiers.mix_sample): keeps the Gumbel rank
+    # independent of every other hash-rank operator over doc_id
+    return F.pmod(F.xxhash64(F.lit("dsir"), F.col("doc_id")),
+                  F.lit(RANK_BUCKETS))
 
 
 def dsir_score(raw: DataFrame, model: DsirWeights,

@@ -64,7 +64,12 @@ def _near(rng: np.random.Generator, toks: list[str], p: float) -> list[str]:
 def _jaccard(a: str, b: str, k: int) -> float:
     sa = set(char_shingles(normalize_text(a), k))
     sb = set(char_shingles(normalize_text(b), k))
-    return len(sa & sb) / max(1, len(sa | sb))
+    # empty-vs-empty is 1.0 — the oracle's pinned convention
+    # (oracle/sketches.py true_jaccard); 0.0 here would record an
+    # exact-dup pair of empty docs below every recall gate's tau
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
 
 
 def make_corpus(documents: pd.DataFrame, cfg: DedupConfig = DedupConfig(),

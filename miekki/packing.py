@@ -67,10 +67,13 @@ def seq_pack(docs: DataFrame, seq_len: int = SEQ_LEN_DEFAULT,
 
     `docs` needs (doc_id, tok_col); tok_col is the doc's token count
     (X30's n_tok or X5's token counter — integer, >= 0)."""
+    # domain-tagged defaults (see tiers.mix_sample): independent of
+    # each other and of every other hash-rank operator over doc_id
     bucket = (bucket_col if bucket_col is not None
-              else F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)))
+              else F.pmod(F.xxhash64(F.lit("pack"), F.col("doc_id")),
+                          F.lit(n_buckets)))
     rank = (rank_col if rank_col is not None
-            else F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)),
+            else F.pmod(F.xxhash64(F.lit("packrk"), F.col("doc_id")),
                         F.lit(1 << 31)))
     tok = F.col(tok_col).cast("long")
     w = (Window.partitionBy("bucket")

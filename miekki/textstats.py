@@ -106,17 +106,42 @@ def quality_columns(norm_col) -> dict[str, F.Column]:
     }
 
 
+# Gopher-ish keep-rule thresholds — the SINGLE definition shared by
+# quality_score's quality_ok column and the filter battery (X24); the
+# two verdicts must never silently disagree.
+QUALITY_MIN_TOKENS = 5
+QUALITY_MIN_CHARS = 30
+QUALITY_TOK_LEN = (2, 12)
+QUALITY_MAX_DIGIT_RATIO = 0.3
+
+
+def quality_ok_col(c) -> F.Column:
+    """The keep rule over quality_columns outputs (c: name -> Column
+    or a plain dict of columns)."""
+    g = (lambda n: c[n]) if isinstance(c, dict) else c
+    return ((g("n_ws_tokens") >= QUALITY_MIN_TOKENS)
+            & (g("n_chars") >= QUALITY_MIN_CHARS)
+            & (g("mean_tok_len") >= QUALITY_TOK_LEN[0])
+            & (g("mean_tok_len") <= QUALITY_TOK_LEN[1])
+            & (g("digit_ratio") <= QUALITY_MAX_DIGIT_RATIO))
+
+
+def quality_ok_duck() -> str:
+    """DuckDB twin of the same rule, built from the same constants."""
+    return (f"(n_ws_tokens >= {QUALITY_MIN_TOKENS}"
+            f" AND n_chars >= {QUALITY_MIN_CHARS}"
+            f" AND mean_tok_len >= {QUALITY_TOK_LEN[0]}"
+            f" AND mean_tok_len <= {QUALITY_TOK_LEN[1]}"
+            f" AND digit_ratio <= {QUALITY_MAX_DIGIT_RATIO})")
+
+
 def quality_score(docs_norm: DataFrame, norm_col: str = "norm_text") -> DataFrame:
     cols = quality_columns(norm_col)
     out = docs_norm
     for name, col in cols.items():
         out = out.withColumn(name, col)
-    # Gopher-ish keep rule: sane length + token shape
-    return out.withColumn(
-        "quality_ok",
-        (F.col("n_ws_tokens") >= 5) & (F.col("n_chars") >= 30)
-        & (F.col("mean_tok_len") >= 2) & (F.col("mean_tok_len") <= 12)
-        & (F.col("digit_ratio") <= 0.3))
+    # Gopher-ish keep rule: sane length + token shape (shared defs)
+    return out.withColumn("quality_ok", quality_ok_col(F.col))
 
 
 # --- DuckDB twins -----------------------------------------------------

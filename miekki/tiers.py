@@ -179,7 +179,8 @@ def cluster_cap(labels: DataFrame, k: int = 4,
     curate instead of sample. Singleton clusters pass through with
     rn = 1, so composing with the tier labels gives the full policy:
     unique docs untouched, every dup family bounded at k."""
-    rk = rank_col if rank_col is not None else F.xxhash64(F.col("doc_id"))
+    rk = (rank_col if rank_col is not None
+          else F.xxhash64(F.lit("ccap"), F.col("doc_id")))  # domain tag
     base = labels.select("doc_id", "cluster_id", rk.alias("rk"))
     return (capped_topk(base, "cluster_id", k, salts=salts)
             .select("doc_id", "cluster_id", "rn"))
@@ -217,8 +218,16 @@ def mix_sample(docs: DataFrame, rates: tuple[tuple[str, float], ...],
     (tiny — one row per stratum) and the comparison is codegen'd;
     the corpus side is never shuffled."""
     spark = docs.sparkSession
+    # domain-tagged hash: plain xxhash64(key) would be the SAME rank
+    # split_assign uses, making membership and split assignment
+    # perfectly correlated — a mix rate r keeps only buckets < r·10⁴,
+    # which are entirely inside the train range, silently EMPTYING
+    # val/test whenever r < 0.99 (found empirically in cmd_curate).
+    # Each hash-rank operator salts its own literal domain tag so
+    # compositions stay independent.
     rk = (rank_col if rank_col is not None
-          else F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)))
+          else F.pmod(F.xxhash64(F.lit("mix"), F.col(key_col)),
+                      F.lit(buckets)))
     # a duplicated stratum key would duplicate every matching doc
     # through the join — reject it loudly rather than inflate counts
     strata = [s for s, _ in rates]

@@ -277,9 +277,9 @@ def filter_battery(docs: DataFrame, norm_col: str = "norm",
     from miekki.textstats import predict_lang, quality_columns
 
     q = quality_columns(norm_col)
-    quality_ok = ((q["n_ws_tokens"] >= 5) & (q["n_chars"] >= 30)
-                  & (q["mean_tok_len"] >= 2) & (q["mean_tok_len"] <= 12)
-                  & (q["digit_ratio"] <= 0.3))
+    from miekki.textstats import quality_ok_col
+
+    quality_ok = quality_ok_col(q)
     lang_ok = predict_lang(norm_col).isin(*allowed_langs)
     p = pii_columns(pii_text_col if pii_text_col is not None else norm_col)
     pii_ok = (p["n_emails"] + p["n_ipv4"] + p["n_phones"]) == 0
@@ -303,7 +303,8 @@ def filter_battery_duck_sql(src: str, norm_expr: str = "norm",
                             allowed_langs: tuple[str, ...] = ("en",)) -> str:
     """DuckDB twin over ``src`` (subquery/CTE providing doc_id and the
     referenced text columns)."""
-    from miekki.textstats import lang_id_duck_sql, quality_duck_cols
+    from miekki.textstats import (lang_id_duck_sql, quality_duck_cols,
+                                  quality_ok_duck)
 
     pii = pii_expr if pii_expr is not None else norm_expr
     inner = (f"SELECT doc_id, {quality_duck_cols(norm_expr)},"
@@ -314,9 +315,7 @@ def filter_battery_duck_sql(src: str, norm_expr: str = "norm",
     langs = ", ".join("'" + lg.replace("'", "''") + "'"
                       for lg in allowed_langs)
     conds = {
-        "quality": ("(n_ws_tokens >= 5 AND n_chars >= 30 AND"
-                    " mean_tok_len >= 2 AND mean_tok_len <= 12 AND"
-                    " digit_ratio <= 0.3)"),
+        "quality": quality_ok_duck(),
         "lang": f"pred_lang IN ({langs})",
         "pii": "(n_emails + n_ipv4 + n_phones) = 0",
         "repetition": (f"(dup2gram_frac <= {BATTERY_MAX_DUP2} AND"
@@ -446,7 +445,8 @@ def domain_cap(docs: DataFrame, k: int = 100, url_col: str = "url",
     r4 — the dup-cluster cap X28 reuses it keyed by cluster_id.)"""
     from miekki.tiers import capped_topk
 
-    rk = rank_col if rank_col is not None else F.xxhash64(F.col("doc_id"))
+    rk = (rank_col if rank_col is not None
+          else F.xxhash64(F.lit("dcap"), F.col("doc_id")))  # domain tag
     base = docs.select("doc_id", host_col(url_col).alias("host"),
                        rk.alias("rk"))
     return (capped_topk(base, "host", k, salts=salts)
@@ -494,8 +494,13 @@ def split_assign(docs: DataFrame,
     groupBy. Pass ``rank_col`` to swap the hash for a
     dialect-portable rank (driver twin) — the CASE chain is
     unchanged."""
+    # domain-tagged (see tiers.mix_sample): without the "split" salt
+    # this rank is identical to a plain-xxhash64 sampler over the same
+    # key and the two compositions correlate (mix < 0.99 would empty
+    # val/test entirely)
     rk = (rank_col if rank_col is not None
-          else F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)))
+          else F.pmod(F.xxhash64(F.lit("split"), F.col(key_col)),
+                      F.lit(buckets)))
     names = [n for n, _ in weights]
     bounds = _split_bounds(weights, buckets)
     expr = F.lit(names[-1])

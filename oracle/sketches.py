@@ -44,7 +44,12 @@ def simhash_fingerprint(hashes_i64, cfg: DedupConfig = DedupConfig()) -> int:
     Returns signed int64.
     """
     h = np.array([to_u64(x) for x in hashes_i64], dtype=np.uint64)
-    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    # '<u8' pins little-endian byte order: a bare .view(uint8) on a
+    # big-endian host would emit most-significant bytes first and
+    # bit_j(h) would no longer be column j — the oracle would diverge
+    # from the Spark kernel and every golden file
+    bits = np.unpackbits(h.astype("<u8").view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little")
     votes = bits.astype(np.int64).sum(axis=0) * 2 - len(h)  # sum of +/-1 per bit
     fp_bits = (votes > 0).astype(np.uint64)
     fp = np.uint64(0)

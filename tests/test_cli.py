@@ -67,7 +67,12 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
     assert f["after_dedup"] == f["after_filter"]   # dedup labels, not drops
     assert sum(out["by_split"].values()) == f["curated"]
     assert sum(out["by_tier"].values()) == f["curated"]
-    assert set(out["by_split"]) <= {"train", "val", "test"}
+    # ALL THREE splits must be populated: mix_sample and split_assign
+    # hash the same url, and before the domain-tagged ranks a mix
+    # rate r < 0.99 kept only buckets inside the train range —
+    # silently EMPTYING val/test (the eval-contamination failure the
+    # split operator exists to prevent). `<=` would mask it.
+    assert set(out["by_split"]) == {"train", "val", "test"}
 
     # --emit-lm: one X30 score row per INPUT doc (pre-filter, so
     # dropped docs keep their score for the audit), sane spec pins
