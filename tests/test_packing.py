@@ -110,3 +110,13 @@ def test_deterministic_under_repartition(spark):
     b = sorted(seq_pack(df.repartition(7), seq_len=L,
                         n_buckets=4).collect())
     assert a == b
+
+
+def test_pack_stats_all_zero_token_bucket(spark):
+    """A bucket holding only zero-token docs produces 0 sequences and
+    a PINNED fill of 1.0 — never NULL from 0/0 division."""
+    df = spark.createDataFrame([(1, 0), (2, 0)], ["doc_id", "n_tok"])
+    st = pack_stats(seq_pack(df, seq_len=L, n_buckets=1,
+                             bucket_col=F.lit(0)), seq_len=L).collect()
+    assert len(st) == 1
+    assert st[0]["n_seqs"] == 0 and st[0]["fill"] == 1.0
