@@ -829,6 +829,16 @@ def q_dsir_select(spark, sf_dir):
         rank_col=F.expr(f"pmod(doc_id * 2654435761, {RANK_BUCKETS})"))
 
 
+def q_chunk_passages(spark, sf_dir):
+    """X34 — passage chunking (DPR-style overlapping windows): split
+    normalized docs into 64-char chunks with stride 48. Map-only,
+    character arithmetic — DuckDB recomputes every row."""
+    from miekki.chunking import chunk_passages
+
+    return chunk_passages(_norm_docs(spark, sf_dir),
+                          chunk_len=64, stride=48)
+
+
 def q_seq_pack(spark, sf_dir):
     """X33 — sequence packing (concat-and-chunk): assign every doc a
     (bucket, seq_first..seq_last) span of fixed-length training
@@ -1313,6 +1323,7 @@ QUERIES: dict[str, Callable] = {
     "lm_score": q_lm_score,
     "dsir_select": q_dsir_select,
     "seq_pack": q_seq_pack,
+    "chunk_passages": q_chunk_passages,
     "semantic_dedup": q_semantic_dedup,
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
@@ -1558,6 +1569,7 @@ ORACLE_SQL: dict[str, str] = {
 
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
+    from miekki.chunking import chunk_duck_sql
     from miekki.dsir import RANK_BUCKETS, dsir_duck_sql
     from miekki.lm import lm_score_duck_sql
     from miekki.packing import seq_pack_duck_sql
@@ -1626,6 +1638,8 @@ def _extras_oracle_sql() -> dict[str, str]:
             blocklist=("site3.example.com",)),
         "vocab_topk": vocab_topk_duck_sql(_NORM_CTE, k=100),
         "lm_score": lm_score_duck_sql(_NORM_CTE),
+        "chunk_passages": chunk_duck_sql(
+            _NORM_CTE, chunk_len=64, stride=48),
         "seq_pack": seq_pack_duck_sql(
             f"SELECT doc_id, CAST(len(list_filter(str_split(norm, ' '),"
             f" t -> t <> '')) AS BIGINT) AS n_tok FROM ({_NORM_CTE})",
