@@ -271,6 +271,26 @@ def cmd_curate(args):
                    F.sum("n_seqs").alias("seqs")).first())
         pack_summary = {"n_tokens": st["tok"], "n_seqs": st["seqs"],
                         "seq_len": args.seq_len}
+
+    # 7. optional passage chunking (X34) — the retrieval-side dual of
+    # packing: overlapping windows over the curated survivors'
+    # normalized text
+    chunk_summary = None
+    if args.emit_chunks:
+        from miekki.chunking import chunk_passages
+
+        cur_norm = (docs.select("doc_id", F.col("norm_text")
+                                .alias("norm"))
+                    .join(cur.select("doc_id"), "doc_id", "left_semi"))
+        cat.overwrite(
+            "doc_chunks",
+            chunk_passages(cur_norm, chunk_len=args.chunk_len,
+                           stride=args.chunk_stride),
+            run_id=args.run_id)
+        chunk_summary = {
+            "n_chunks": cat.read("doc_chunks").count(),
+            "chunk_len": args.chunk_len, "stride": args.chunk_stride}
+
     print(json.dumps({
         "run_id": args.run_id,
         "funnel": {"input": n_input, "after_filter": n_filtered,
@@ -284,6 +304,7 @@ def cmd_curate(args):
                     cur.groupBy("tier")
                     .agg(F.count(F.lit(1)).alias("n")).collect()},
         "pack": pack_summary,
+        "chunks": chunk_summary,
         "wall_sec": round(time.time() - t0, 2),
     }))
 
@@ -340,6 +361,12 @@ def main(argv=None):
                     help="also write doc_pack (X33 sequence-packing"
                          " assignment over the curated survivors)")
     pc.add_argument("--seq-len", type=int, default=2048)
+    pc.add_argument("--emit-chunks", action="store_true",
+                    help="also write doc_chunks (X34 overlapping"
+                         " passage windows over the curated"
+                         " survivors' normalized text)")
+    pc.add_argument("--chunk-len", type=int, default=2048)
+    pc.add_argument("--chunk-stride", type=int, default=1792)
     pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)

@@ -57,7 +57,8 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
           "--langs", "en,fr,es,zh,de", "--cluster-cap", "2",
           "--mix", "en=0.5", "--default-rate", "1.0",
           "--splits", "train=0.8,val=0.1,test=0.1", "--emit-lm",
-          "--emit-dsir", "--emit-pack", "--seq-len", "256"])
+          "--emit-dsir", "--emit-pack", "--seq-len", "256",
+          "--emit-chunks", "--chunk-len", "128", "--chunk-stride", "96"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     f = out["funnel"]
@@ -97,6 +98,15 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
     assert out["pack"]["seq_len"] == 256
     assert out["pack"]["n_tokens"] == pk["n_tok"].sum()
     assert (pk["seq_last"] >= pk["seq_first"]).all()
+
+    # --emit-chunks: every CURATED doc appears, every chunk within
+    # the length bound, count matches the summary
+    ck = cat.read("doc_chunks").toPandas()
+    assert out["chunks"]["n_chunks"] == len(ck)
+    cur_ids = {r["doc_id"] for r in
+               cat.read("curated").select("doc_id").collect()}
+    assert set(ck["doc_id"]) == cur_ids
+    assert (ck["n_chars"] <= 128).all()
 
     cur = cat.read("curated").toPandas()
     assert len(cur) == f["curated"]
