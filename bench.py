@@ -85,6 +85,37 @@ def prepare_corpus(sf_dir: str, mult: int, cache_root: str) -> tuple[str, int]:
     return path, len(corpus)
 
 
+def calibration_probe() -> float:
+    """Pinned single-process run of the repo's hottest kernel (fused
+    shingle+minhash+simhash, miekki/kernels.py) over a deterministic
+    synthetic Arrow batch — a fixed amount of work whose wall depends
+    only on this box's current speed. Reported next to the e2e walls
+    so a BENCH_rN-vs-rM delta separates code change from tenant noise
+    (VERDICT r4 "What's wrong" #1: r4's 44.9 s vs r3's 31.2 s was
+    pure environment drift and the artifact couldn't show it).
+    min-of-3 single-threaded passes, ~1 s on an idle box."""
+    import pyarrow as pa
+
+    from miekki.config import DedupConfig
+    from miekki.kernels import make_text_signature_kernel
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    words = rng.integers(0, 30000, size=2000 * 80)
+    texts = [" ".join(f"w{w:05d}" for w in words[i * 80:(i + 1) * 80])
+             for i in range(2000)]
+    batch = pa.record_batch(
+        {"doc_id": pa.array(np.arange(2000, dtype=np.int64)),
+         "norm_text": pa.array(texts)})
+    kern = make_text_signature_kernel(DedupConfig())
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        for _out in kern(iter([batch])):
+            pass
+        walls.append(time.time() - t0)
+    return round(min(walls), 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -92,6 +123,8 @@ def main():
     repo = os.path.dirname(os.path.abspath(__file__))
     corpus_path, n_docs = prepare_corpus(sf_dir, mult,
                                          os.path.join(repo, ".cache"))
+    # box-speed calibration BEFORE the JVM exists (quietest moment)
+    calib = calibration_probe()
 
     from miekki.config import DedupConfig
     from miekki.pipeline import candidate_edges, dedup_labels
@@ -159,8 +192,13 @@ def main():
     # minimum is this repo's established uncontended-wall estimator
     # clamp >= 1: reps=0 would crash min([]) and leave n_labels unbound
     reps = max(1, int(os.environ.get("MIEKKI_BENCH_E2E_REPS", "2")))
-    e2e_walls = []
+    e2e_walls, loads = [], []
     for i in range(reps):
+        # 1-min load BEFORE the rep: bounds external tenant noise
+        # entering the measurement (our own executors keep the average
+        # elevated into the NEXT rep's reading — it bounds, not
+        # measures; BENCH/BASELINE.md)
+        loads.append(round(os.getloadavg()[0], 2))
         t0 = time.time()
         n_labels = dedup_labels(corpus, cfg).count()
         e2e_walls.append(round(time.time() - t0, 2))
@@ -186,6 +224,11 @@ def main():
         "docs_per_sec": round(n_docs / e2e, 1),
         "cpus": int(cpus),
         "mult": mult,
+        # self-adjudication (VERDICT r4): compare calib_sec across
+        # rounds to normalize out box-speed drift; loadavg_pre_rep
+        # bounds external noise entering each e2e rep
+        "calib_sec": calib,
+        "loadavg_pre_rep": loads,
     }))
 
 

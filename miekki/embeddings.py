@@ -91,18 +91,35 @@ def _dense_matrix(arr) -> np.ndarray | None:
     return flat.reshape(len(widths), int(dim))
 
 
+# tolerated fraction of NON-EMPTY wrong-dimension rows per Arrow batch
+# before _densify raises instead of padding/truncating. 0.0 = any
+# genuinely mis-dimensioned vector is an error (ADVICE r4: silent
+# pad/truncate turned dimension corruption into quietly wrong cosines).
+# NULL/empty rows are never errors — they densify to zero vectors,
+# which _with_norm filters out downstream.
+RAGGED_TOLERANCE = 0.0
+
+
 def _densify(arr) -> np.ndarray:
     dense = _dense_matrix(arr)
     if dense is None:                       # ragged/null fallback (cold)
-        # degrade, don't crash (the fallback's reason to exist): a
-        # NULL/empty embedding becomes a zero vector (norm 0 — the
-        # _with_norm filter drops it from results downstream), and
-        # ragged rows are padded/truncated to the first non-empty
-        # row's dim. np.stack would raise on exactly these inputs.
+        # NULL/empty embeddings degrade to zero vectors (norm 0 — the
+        # _with_norm filter drops them downstream); non-empty rows
+        # whose length disagrees with the batch's dim are corrupt
+        # input and raise past RAGGED_TOLERANCE rather than being
+        # silently padded/truncated. np.stack would raise on all of
+        # these inputs indiscriminately.
         rows = arr.to_pylist()
         if not rows:
             return np.empty((0, 0))
         dim = next((len(v) for v in rows if v), 0)
+        bad = sum(1 for v in rows if v and len(v) != dim)
+        if bad > RAGGED_TOLERANCE * len(rows):
+            raise ValueError(
+                f"embedding column is ragged: {bad}/{len(rows)} non-empty"
+                f" rows disagree with dim {dim} (first non-empty row);"
+                f" fix the input or raise miekki.embeddings.RAGGED_TOLERANCE"
+                f" to pad/truncate instead")
         dense = np.zeros((len(rows), dim), dtype=np.float64)
         for i, v in enumerate(rows):
             if v:

@@ -35,6 +35,14 @@ class LineageLog:
         if not self.catalog.exists(LINEAGE_TABLE):
             return set()
         df = self.catalog.read(LINEAGE_TABLE)
+        if "output_snapshot" not in df.columns:
+            # lineage table written by a pre-output_snapshot version:
+            # parquet schema inference may serve the old 6-column shape
+            # even after mark() appends 7-column rows. No snapshot
+            # evidence exists for those rows, so resume must recompute
+            # (ADVICE r4: selecting the column unconditionally raised
+            # AnalysisException on upgraded catalogs).
+            return set()
         rows = (df.where(
             (F.col("stage") == stage)
             & (F.col("input_snapshot") == input_snapshot)

@@ -86,11 +86,14 @@ def seq_pack(docs: DataFrame, seq_len: int = SEQ_LEN_DEFAULT,
            .select(
                "doc_id", "bucket", "n_tok",
                F.pmod("cum", F.lit(seq_len)).alias("start_off"),
-               (F.col("cum") / seq_len).cast("long").alias("seq_first"),
+               # integer DIV, not double /: the DuckDB twin uses exact
+               # integer //, and double division truncated to long can
+               # cross an integer boundary for cumulative sums beyond
+               # ~2^40 (ADVICE r4) — real at 10^12-doc bucket sums
+               F.expr(f"cum DIV {int(seq_len)}").alias("seq_first"),
                F.when(F.col("n_tok") > 0,
-                      ((F.col("cum") + F.col("n_tok") - 1) / seq_len)
-                      .cast("long"))
-               .otherwise((F.col("cum") / seq_len).cast("long"))
+                      F.expr(f"(cum + n_tok - 1) DIV {int(seq_len)}"))
+               .otherwise(F.expr(f"cum DIV {int(seq_len)}"))
                .alias("seq_last")))
     return out.withColumn(
         "n_seqs",

@@ -13,7 +13,8 @@ catalog stays the source of truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import (DataFrame, Observation, SparkSession, Window,
+                         functions as F)
 
 from miekki.catalog import Catalog
 from miekki.config import DedupConfig
@@ -113,8 +114,14 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
     sigs = (signatures_from_text(docs, cfg)
             .withColumn("bseq", F.lit(bseq))
             .localCheckpoint())
+    # the broadcast-gate count rides the checkpoint job as an
+    # Observation (the cc.py _ckpt_with_stats pattern) — VERDICT r4 #3:
+    # a separate new_bands.count() was one extra job round-trip per
+    # micro-batch
+    obs_bands = Observation()
     new_bands = (band_table(sigs, cfg)
                  .withColumn("bseq", F.lit(bseq))
+                 .observe(obs_bands, F.count(F.lit(1)).alias("n"))
                  .localCheckpoint())
 
     # candidate edges: only buckets touched by the batch matter, so
@@ -130,7 +137,7 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
     # never a wrong edge.
     touched = new_bands.select("band_id", "band_hash").distinct()
     t_side = (F.broadcast(touched)
-              if new_bands.count() <= BROADCAST_IDS_MAX else touched)
+              if obs_bands.get["n"] <= BROADCAST_IDS_MAX else touched)
     if have_state:
         old_hit = (catalog.read("stream_bands")
                    .join(t_side, ["band_id", "band_hash"], "left_semi"))
@@ -147,15 +154,18 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
     # the r4 spt layout still shuffled the history slice on fallback).
     # Latest-wins by bseq handles re-crawled urls: the newest
     # signature of a doc_id is the one verified against (ADVICE r3).
+    obs_need = Observation()
     need = (cand.select(F.col("src").alias("doc_id"))
             .unionByName(cand.select(F.col("dst").alias("doc_id")))
-            .distinct().localCheckpoint())
+            .distinct()
+            .observe(obs_need, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint())
     # broadcast the endpoint ids while they plausibly fit the driver;
     # a giant backfill batch falls back to a shuffled semi-join —
     # history pays one shuffle for THAT batch only, instead of
-    # risking a driver OOM. need is localCheckpoint-ed, so the count
-    # is on materialized data.
-    need_small = need.count() <= BROADCAST_IDS_MAX
+    # risking a driver OOM. The gate count rides the checkpoint job
+    # as an Observation (no separate count() job — VERDICT r4 #3).
+    need_small = obs_need.get["n"] <= BROADCAST_IDS_MAX
     need_side = F.broadcast(need) if need_small else need
     # semi-join each source SEPARATELY, then union: a union of the
     # bucketed scan with the batch df would erase the scan's

@@ -233,3 +233,22 @@ def test_ivf_deterministic(spark, embeddings):
     key = ["query_id", "rank"]
     pd.testing.assert_frame_equal(a.sort_values(key).reset_index(drop=True),
                                   b.sort_values(key).reset_index(drop=True))
+
+
+def test_densify_ragged_raises_null_degrades():
+    """_densify: NULL/empty rows degrade to zero vectors (dropped by
+    the norm filter downstream), but a NON-EMPTY row whose length
+    disagrees with the batch dim is corrupt input and raises instead
+    of being silently padded/truncated (ADVICE r4)."""
+    import pyarrow as pa
+
+    from miekki.embeddings import _densify
+
+    ok = _densify(pa.array([[1.0, 2.0], None, [], [3.0, 4.0]],
+                           type=pa.list_(pa.float64())))
+    assert ok.shape == (4, 2)
+    assert (ok[1] == 0).all() and (ok[2] == 0).all()
+
+    with pytest.raises(ValueError, match="ragged"):
+        _densify(pa.array([[1.0, 2.0], [3.0]],
+                          type=pa.list_(pa.float64())))

@@ -120,3 +120,17 @@ def test_pack_stats_all_zero_token_bucket(spark):
                              bucket_col=F.lit(0)), seq_len=L).collect()
     assert len(st) == 1
     assert st[0]["n_seqs"] == 0 and st[0]["fill"] == 1.0
+
+
+def test_seq_index_exact_past_double_precision(spark):
+    """seq_first/seq_last use integer DIV, not double /: at cum just
+    past 2^53 (representable in long, not in double) the quotient must
+    stay exact. float(2^53 + 1) rounds to 2^53, so double division by 3
+    loses the final sequence index (ADVICE r4)."""
+    big = (1 << 53) + 1
+    df = spark.createDataFrame([(1, big), (2, 5)], ["doc_id", "n_tok"])
+    rows = {r["doc_id"]: r for r in
+            seq_pack(df, seq_len=3, n_buckets=1, bucket_col=F.lit(0),
+                     rank_col=F.col("doc_id")).collect()}
+    assert rows[2]["seq_first"] == big // 3          # exact integer //
+    assert rows[1]["seq_last"] == (big - 1) // 3

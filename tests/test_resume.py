@@ -122,3 +122,23 @@ def test_config_alternation_never_serves_stale_table(
     assert a2["executed"] == STAGES, (
         "stale done rows must not skip stages over B's tables")
     pd.testing.assert_frame_equal(la, _labels_pdf(a2))
+
+
+def test_pre_upgrade_lineage_schema_recomputes(spark, tmp_path):
+    """A lineage table written before the output_snapshot column
+    existed (6-column rows) must make done_snapshots() return empty —
+    i.e. resume recomputes — instead of raising AnalysisException on
+    the missing column (ADVICE r4)."""
+    from datetime import datetime, timezone
+
+    from miekki.lineage import LINEAGE_TABLE, LineageLog
+
+    cat = HadoopCatalog(spark, str(tmp_path / "cat"))
+    old = spark.createDataFrame(
+        [("r0", "signatures", "snap-in", "cfg", "done",
+          datetime(2025, 1, 1, tzinfo=timezone.utc))],
+        "run_id string, stage string, input_snapshot string,"
+        " config_hash string, status string, ts timestamp")
+    cat.overwrite(LINEAGE_TABLE, old, run_id="r0")
+    assert LineageLog(cat).done_snapshots(
+        "signatures", "snap-in", "cfg") == set()

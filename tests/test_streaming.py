@@ -381,3 +381,52 @@ def test_sessionize_stream_converges_to_batch(spark, tmp_path_factory):
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got[want.columns], want,
                                   check_dtype=False)
+
+
+class _JobMeter(_ShuffleMeter):
+    """Counts SparkListenerJobStart events between take() calls —
+    pins the number of driver job round-trips a micro-batch costs."""
+
+    def take(self) -> int:
+        self._drain()
+        total = 0
+        with open(self.path, "rb") as f:
+            f.seek(self.offset)
+            for raw in f:
+                if not raw.endswith(b"\n"):
+                    break
+                self.offset += len(raw)
+                try:
+                    ev = json.loads(raw)
+                except ValueError:
+                    continue
+                if ev.get("Event") == "SparkListenerJobStart":
+                    total += 1
+        return total
+
+
+def test_warm_batch_job_count_pinned(spark, fixture_corpus,
+                                     tmp_path_factory):
+    """VERDICT r4 #3: the broadcast-gate counts (new_bands, need) ride
+    the localCheckpoint jobs as Observations instead of two extra
+    count() jobs per micro-batch. Pin the warm-path job count — the
+    pre-fix code measured PIN+2 on this exact batch."""
+    from miekki.streaming import incremental_dedup_batch
+
+    cfg = DedupConfig()
+    cat = HadoopCatalog(spark, str(tmp_path_factory.mktemp("stream_jobs")))
+    corpus_pdf, _, _ = fixture_corpus
+    cols = ["url", "warc_ts", "text", "lang"]
+    part = corpus_pdf.url.map(_crc) % 3
+    incremental_dedup_batch(
+        spark, cat, spark.createDataFrame(corpus_pdf[part == 0][cols]),
+        cfg, run_id="b0")
+    meter = _JobMeter(spark)
+    incremental_dedup_batch(
+        spark, cat, spark.createDataFrame(corpus_pdf[part == 1][cols]),
+        cfg, run_id="b1")
+    jobs = meter.take()
+    # measured 46 on this batch with the Observation-folded gates;
+    # the two count() jobs of the pre-fix code put it at 48. +1 slack
+    # for scheduler nondeterminism, still strictly below 48.
+    assert jobs <= 47, jobs
