@@ -859,6 +859,166 @@ def q_seq_pack(spark, sf_dir):
             "pmod(pmod(doc_id, 1000003) * 48271, 2147483648)"))
 
 
+def q_curate_funnel(spark, sf_dir):
+    """End-to-end contract over the cli.py curate composition
+    (VERDICT r4 next-step #5): run the FULL funnel (ingest → filter
+    battery → dedup+tiers → cluster cap → mixture → splits →
+    pack+chunk emits) into a throwaway catalog via the real CLI
+    entrypoints, then pin conservation booleans recomputed from the
+    persisted catalog tables:
+
+      filter_conserved   every input doc has a verdict; corpus_kept
+                         == keep=true verdicts
+      dedup_conserved    cluster_labels covers corpus_kept exactly
+      tiers_conserved    doc_tiers covers cluster_labels exactly
+      tiers_consistent   tier = 'unique' ⟺ singleton cluster
+      cap_respected      ≤ cluster-cap curated docs per cluster
+      mix_monotone       curated ⊆ capped survivors
+      splits_nonempty    train/val/test all non-empty
+      pack_matches       doc_pack has one row per curated doc
+      chunks_match       doc_chunks row count == Σ n_chunks recomputed
+                         from the pinned X34 arithmetic
+
+    The oracle pins all nine true (contract key — the funnel is a
+    composition of operators that each carry full value twins)."""
+    import shutil
+    import tempfile
+
+    from miekki import cli
+    from miekki.catalog import HadoopCatalog
+    from miekki.tiers import UNIQUE_TIER
+
+    cap = 4
+    root = tempfile.mkdtemp(prefix="miekki_funnel_")
+    try:
+        common = ["--catalog-root", root]
+        cli.main(["ingest", "--sf-dir", sf_dir, "--partitions", "8"]
+                 + common)
+        cli.main(["curate", "--run-id", "fun0", "--cluster-cap", str(cap),
+                  "--mix", "en=0.9", "--default-rate", "0.9",
+                  "--splits", "train=0.8,val=0.1,test=0.1",
+                  "--emit-pack", "--emit-chunks",
+                  "--chunk-len", "64", "--chunk-stride", "48"] + common)
+        cat = HadoopCatalog(spark, root)
+        n_input = cat.read("corpus").count()
+        verd = cat.read("filter_verdicts").cache()
+        n_verd, n_keep = verd.count(), verd.where("keep").count()
+        n_kept_tab = cat.read("corpus_kept").count()
+        labels = cat.read("cluster_labels").cache()
+        n_labels = labels.count()
+        tiers = cat.read("doc_tiers").cache()
+        n_tiers = tiers.count()
+        # tier = 'unique' ⟺ singleton cluster (labels ⋈ tiers)
+        sizes = labels.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("sz"))
+        lt = (labels.select("doc_id", "cluster_id")
+              .join(tiers, "doc_id").join(sizes, "cluster_id"))
+        n_incons = lt.where(
+            ((F.col("tier") == UNIQUE_TIER) & (F.col("sz") > 1))
+            | ((F.col("tier") != UNIQUE_TIER) & (F.col("sz") == 1))
+        ).count()
+        cur = cat.read("curated").cache()
+        n_cur = cur.count()
+        max_per_cluster = (cur.groupBy("cluster_id")
+                           .agg(F.count(F.lit(1)).alias("n"))
+                           .agg(F.max("n")).first()[0] or 0)
+        n_splits = cur.select("split").distinct().count()
+        n_pack = cat.read("doc_pack").count()
+        # recompute Σ n_chunks from the pinned X34 arithmetic over the
+        # curated survivors' normalized text
+        from miekki.config import DedupConfig
+        from miekki.exprs import doc_id_sql
+        from miekki.stages.normalize import normalize
+
+        cfg = DedupConfig()
+        cur_norm = (normalize(cat.read("corpus"), cfg)
+                    .join(cur.select("doc_id"), "doc_id", "left_semi"))
+        ln = F.length(F.coalesce(F.col("norm_text"), F.lit("")))
+        exp_chunks = (cur_norm.select(
+            F.when(ln <= 64, F.lit(1)).otherwise(
+                F.floor((ln - 64 + 48 - 1) / 48).cast("int") + 1)
+            .alias("nc")).agg(F.sum("nc")).first()[0] or 0)
+        n_chunks = cat.read("doc_chunks").count()
+        row = [(
+            n_verd == n_input and n_keep == n_kept_tab,
+            n_labels == n_kept_tab,
+            n_tiers == n_labels,
+            n_incons == 0,
+            0 < max_per_cluster <= cap,
+            0 < n_cur <= n_labels,
+            n_splits == 3,
+            n_pack == n_cur,
+            n_chunks == exp_chunks and n_chunks > 0,
+        )]
+        return spark.createDataFrame(
+            row, "filter_conserved boolean, dedup_conserved boolean,"
+                 " tiers_conserved boolean, tiers_consistent boolean,"
+                 " cap_respected boolean, mix_monotone boolean,"
+                 " splits_nonempty boolean, pack_matches boolean,"
+                 " chunks_match boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# X35 quality classifier — fit/score config shared by the Spark query
+# and the DuckDB oracle (which REFITS independently from the parquet
+# via fit_triples_duck; identical triples -> bit-identical weights)
+_CLF_B = 512
+_CLF_SAMPLE = 300
+_CLF_THR = 0.436
+
+
+def q_quality_clf(spark, sf_dir):
+    """X35 — hashed-feature logistic-regression quality classifier
+    (GPT-3/Dolma-style): fit en-vs-non-en on deterministic 300-doc
+    samples (portable md5 buckets so the DuckDB oracle refits to
+    bit-identical weights), score every doc. Broadcast weight join +
+    one doc_id shuffle + map-only sigmoid; full per-row value twin."""
+    from miekki.quality_clf import clf_score, fit_quality_clf, md5_bucket
+
+    docs = _norm_docs(spark, sf_dir)
+    base = _t(spark, sf_dir, "documents")
+    pos = docs.join(base.where(F.col("lang") == "en").select("doc_id"),
+                    "doc_id", "left_semi")
+    neg = docs.join(base.where(F.col("lang") != "en").select("doc_id"),
+                    "doc_id", "left_semi")
+    model = fit_quality_clf(pos, neg, b=_CLF_B,
+                            bucket_fn=md5_bucket(_CLF_B),
+                            sample=_CLF_SAMPLE)
+    return clf_score(docs, model, threshold=_CLF_THR)
+
+
+def q_pack_pieces(spark, sf_dir):
+    """X33 token mode — route each doc's TOKEN ARRAY into its packed
+    sequences: one row per (doc, sequence) piece, piece rendered as a
+    space-joined string so both engines hash identically. Same
+    one-shuffle shape as seq_pack (the array rides the bucket
+    exchange); full per-row DuckDB value twin."""
+    from miekki.lm import _tokens
+    from miekki.packing import pack_pieces
+
+    docs = (_norm_docs(spark, sf_dir)
+            .select("doc_id", _tokens("norm").alias("tokens")))
+    return (pack_pieces(
+        docs, seq_len=512, n_buckets=8,
+        bucket_col=F.expr("pmod(pmod(doc_id, 1000003) * 2654435761, 8)"),
+        rank_col=F.expr("pmod(pmod(doc_id, 1000003) * 48271, 2147483648)"))
+        .withColumn("piece", F.concat_ws(" ", "piece")))
+
+
+def q_chunk_tokens(spark, sf_dir):
+    """X34 token mode — overlapping token windows (64-token chunks,
+    stride 48) over X30's tokenizer output; map-only, chunk rendered
+    as a space-joined string. Full per-row DuckDB value twin."""
+    from miekki.chunking import chunk_tokens
+    from miekki.lm import _tokens
+
+    docs = (_norm_docs(spark, sf_dir)
+            .select("doc_id", _tokens("norm").alias("tokens")))
+    return (chunk_tokens(docs, chunk_len=64, stride=48)
+            .withColumn("chunk", F.concat_ws(" ", "chunk")))
+
+
 def q_filter_battery(spark, sf_dir):
     """X24: composed keep/drop decision + reason codes (quality shape,
     language allowlist, PII budget on the planted-PII raw text,
@@ -1321,9 +1481,13 @@ QUERIES: dict[str, Callable] = {
     "cluster_cap": q_cluster_cap,
     "mix_sample": q_mix_sample,
     "lm_score": q_lm_score,
+    "quality_clf": q_quality_clf,
+    "curate_funnel": q_curate_funnel,
     "dsir_select": q_dsir_select,
     "seq_pack": q_seq_pack,
     "chunk_passages": q_chunk_passages,
+    "pack_pieces": q_pack_pieces,
+    "chunk_tokens": q_chunk_tokens,
     "semantic_dedup": q_semantic_dedup,
     "embedding_norms": q_embedding_norms,
     "ann_brute": q_ann_brute,
@@ -1567,12 +1731,46 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+def _quality_clf_oracle() -> str:
+    """Oracle for X35: REFIT the classifier from the parquet with
+    DuckDB (same pinned sample/fit spec — fit_triples_duck shares the
+    numpy kernel, so the weights are bit-identical to the Spark fit's
+    unless the two engines' triples diverge anywhere), then embed the
+    weights in the score twin. The fit corpus is the driver's check
+    scale (sf0.01); scripts/check_driver.py overrides via
+    MIEKKI_ORACLE_SF_DIR when it runs at another sf."""
+    import duckdb as _duck
+    import numpy as _np
+
+    from miekki.quality_clf import fit_triples_duck
+
+    sf_dir = os.environ.get("MIEKKI_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    con = _duck.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM"
+                f" read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')")
+    w, bias = fit_triples_duck(
+        con,
+        f"SELECT doc_id, {_NORM_DUCK} AS norm FROM documents"
+        f" WHERE lang = 'en'",
+        f"SELECT doc_id, {_NORM_DUCK} AS norm FROM documents"
+        f" WHERE lang <> 'en'",
+        b=_CLF_B, sample=_CLF_SAMPLE)
+    con.close()
+    from miekki.quality_clf import quality_clf_duck_sql
+
+    return quality_clf_duck_sql(
+        _NORM_CTE,
+        [(int(i), float(w[i])) for i in _np.flatnonzero(w)],
+        bias, _CLF_THR, b=_CLF_B)
+
+
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
-    from miekki.chunking import chunk_duck_sql
+    from miekki.chunking import chunk_duck_sql, chunk_tokens_duck_sql
     from miekki.dsir import RANK_BUCKETS, dsir_duck_sql
     from miekki.lm import lm_score_duck_sql
-    from miekki.packing import seq_pack_duck_sql
+    from miekki.packing import pack_pieces_duck_sql, seq_pack_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
     from miekki.tiers import (MIX_BUCKETS, cluster_cap_duck_sql,
                               mix_sample_duck_sql, tier_labels_duck_sql)
@@ -1638,12 +1836,27 @@ def _extras_oracle_sql() -> dict[str, str]:
             blocklist=("site3.example.com",)),
         "vocab_topk": vocab_topk_duck_sql(_NORM_CTE, k=100),
         "lm_score": lm_score_duck_sql(_NORM_CTE),
+        "quality_clf": _quality_clf_oracle(),
+        "curate_funnel": (
+            "SELECT true AS filter_conserved, true AS dedup_conserved,"
+            " true AS tiers_conserved, true AS tiers_consistent,"
+            " true AS cap_respected, true AS mix_monotone,"
+            " true AS splits_nonempty, true AS pack_matches,"
+            " true AS chunks_match"),
         "chunk_passages": chunk_duck_sql(
             _NORM_CTE, chunk_len=64, stride=48),
         "seq_pack": seq_pack_duck_sql(
             f"SELECT doc_id, CAST(len(list_filter(str_split(norm, ' '),"
             f" t -> t <> '')) AS BIGINT) AS n_tok FROM ({_NORM_CTE})",
             seq_len=512, n_buckets=8),
+        "pack_pieces": pack_pieces_duck_sql(
+            f"SELECT doc_id, list_filter(str_split(norm, ' '),"
+            f" t -> t <> '') AS toks FROM ({_NORM_CTE})",
+            seq_len=512, n_buckets=8),
+        "chunk_tokens": chunk_tokens_duck_sql(
+            f"SELECT doc_id, list_filter(str_split(norm, ' '),"
+            f" t -> t <> '') AS toks FROM ({_NORM_CTE})",
+            chunk_len=64, stride=48),
         "dsir_select": dsir_duck_sql(
             _NORM_CTE,
             f"SELECT doc_id, {_NORM_DUCK} AS norm FROM documents"

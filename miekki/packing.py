@@ -61,12 +61,16 @@ def seq_pack(docs: DataFrame, seq_len: int = SEQ_LEN_DEFAULT,
              n_buckets: int = N_BUCKETS_DEFAULT,
              tok_col: str = "n_tok",
              bucket_col: F.Column | None = None,
-             rank_col: F.Column | None = None) -> DataFrame:
+             rank_col: F.Column | None = None,
+             carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-doc packing assignment: (doc_id, bucket, n_tok, start_off,
-    seq_first, seq_last, n_seqs). See module doc for the pinned spec.
+    seq_first, seq_last, n_seqs[, *carry]). See module doc for the
+    pinned spec.
 
     `docs` needs (doc_id, tok_col); tok_col is the doc's token count
-    (X30's n_tok or X5's token counter — integer, >= 0)."""
+    (X30's n_tok or X5's token counter — integer, >= 0). `carry`
+    names extra columns to thread through the window (pack_pieces
+    carries the token array — same one-shuffle shape, no join-back)."""
     # domain-tagged defaults (see tiers.mix_sample): independent of
     # each other and of every other hash-rank operator over doc_id
     bucket = (bucket_col if bucket_col is not None
@@ -81,10 +85,10 @@ def seq_pack(docs: DataFrame, seq_len: int = SEQ_LEN_DEFAULT,
          .rowsBetween(Window.unboundedPreceding, -1))
     cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
     out = (docs.select("doc_id", tok.alias("n_tok"),
-                       bucket.alias("bucket"), rank.alias("rk"))
+                       bucket.alias("bucket"), rank.alias("rk"), *carry)
            .withColumn("cum", cum)
            .select(
-               "doc_id", "bucket", "n_tok",
+               "doc_id", "bucket", "n_tok", *carry,
                F.pmod("cum", F.lit(seq_len)).alias("start_off"),
                # integer DIV, not double /: the DuckDB twin uses exact
                # integer //, and double division truncated to long can
@@ -165,4 +169,111 @@ SELECT doc_id, bucket, n_tok,
                        ELSE cum // {seq_len} END) - cum // {seq_len} + 1
             ELSE 0 END AS n_seqs
 FROM cums
+"""
+
+
+def pack_pieces(docs: DataFrame, seq_len: int = SEQ_LEN_DEFAULT,
+                n_buckets: int = N_BUCKETS_DEFAULT,
+                tokens_col: str = "tokens",
+                bucket_col: F.Column | None = None,
+                rank_col: F.Column | None = None) -> DataFrame:
+    """Token-space packing (VERDICT r4 next-step #4): route each doc's
+    token ARRAY into the fixed-length sequences seq_pack assigns it,
+    emitting one row per (doc, sequence) piece:
+
+      (doc_id, bucket, seq, seq_off, piece: array<...>, n_piece)
+
+    Pinned spec (derives from seq_pack's; g = global token position
+    within the bucket's concat stream, cum = the doc's first g):
+      piece for sequence s = tokens[g0-cum : g1-cum]  with
+        g0 = max(cum, s*seq_len), g1 = min(cum+n_tok, (s+1)*seq_len)
+      seq_off = g0 - s*seq_len   (where the piece starts inside s)
+      zero-token docs emit NO pieces (their visibility lives in the
+      seq_pack assignment row, n_seqs = 0)
+
+    Conservation invariants (tested): sum(n_piece) per doc = n_tok;
+    within (bucket, seq) the pieces tile [0, seq_len) exactly once
+    (except the bucket's final partial sequence); concatenating a
+    doc's pieces in seq order reproduces its token array.
+
+    Scale shape: seq_pack's ONE bucket shuffle (the array rides the
+    same exchange — no join-back), then a map-only inline explode;
+    per-row fan-out is n_seqs ≈ n_tok/seq_len, memory O(longest doc),
+    the bound normalize already requires."""
+    sized = docs.select(
+        "doc_id",
+        F.coalesce(F.col(tokens_col),
+                   F.array().cast("array<string>")).alias("_toks"))
+    asg = seq_pack(sized.withColumn(
+        "n_tok", F.size("_toks").cast("long")),
+        seq_len=seq_len, n_buckets=n_buckets,
+        bucket_col=bucket_col, rank_col=rank_col, carry=("_toks",))
+    L = int(seq_len)
+    cum = (F.col("seq_first") * L + F.col("start_off")).alias("cum")
+    pieces = F.when(
+        F.col("n_tok") > 0,
+        F.transform(
+            F.sequence("seq_first", "seq_last"),
+            lambda s: F.struct(
+                s.cast("long").alias("seq"),
+                F.greatest(F.col("cum") - s * L, F.lit(0).cast("long"))
+                .alias("seq_off"),
+                F.slice(
+                    "_toks",
+                    (F.greatest(F.col("cum"), s * L)
+                     - F.col("cum") + 1).cast("int"),
+                    (F.least(F.col("cum") + F.col("n_tok"), (s + 1) * L)
+                     - F.greatest(F.col("cum"), s * L)).cast("int"))
+                .alias("piece")))
+    ).otherwise(F.expr(
+        "array()").cast(
+        "array<struct<seq:long,seq_off:long,piece:array<string>>>"))
+    return (asg.withColumn("cum", cum)
+            .select("doc_id", "bucket", F.inline(pieces))
+            .withColumn("n_piece", F.size("piece").cast("long")))
+
+
+def pack_pieces_duck_sql(docs_cte: str, seq_len: int = SEQ_LEN_DEFAULT,
+                         n_buckets: int = N_BUCKETS_DEFAULT,
+                         bucket_sql: str | None = None,
+                         rank_sql: str | None = None) -> str:
+    """DuckDB twin of pack_pieces: identical rows with the piece
+    array rendered as a space-joined string (both engines stringify —
+    a raw list column hashes differently through pandas). docs_cte
+    must yield (doc_id, toks: list<varchar>)."""
+    bucket_sql = bucket_sql or (
+        f"(((doc_id % 1000003 + 1000003) % 1000003)"
+        f" * 2654435761) % {n_buckets}")
+    rank_sql = rank_sql or ("(((doc_id % 1000003 + 1000003) % 1000003)"
+                            " * 48271) % 2147483648")
+    L = int(seq_len)
+    return f"""
+WITH docs AS ({docs_cte}),
+keyed AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+         {bucket_sql} AS bucket, {rank_sql} AS rk
+  FROM docs),
+cums AS (
+  SELECT doc_id, bucket, toks, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY bucket ORDER BY rk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum
+  FROM keyed),
+spans AS (
+  SELECT *, cum // {L} AS s0,
+         -- empty range for zero-token docs: no pieces (pinned)
+         CASE WHEN n_tok > 0 THEN (cum + n_tok - 1) // {L} + 1
+              ELSE cum // {L} END AS s_end
+  FROM cums)
+SELECT doc_id, bucket,
+       CAST(s AS BIGINT) AS seq,
+       greatest(cum, s * {L}) - s * {L} AS seq_off,
+       array_to_string(
+         toks[CAST(greatest(cum, s * {L}) - cum + 1 AS BIGINT) :
+              CAST(least(cum + n_tok, (s + 1) * {L}) - cum AS BIGINT)],
+         ' ') AS piece,
+       least(cum + n_tok, (s + 1) * {L}) - greatest(cum, s * {L})
+         AS n_piece
+FROM (SELECT *, unnest(range(s0, s_end)) AS s FROM spans)
 """

@@ -18,6 +18,9 @@ import __spark_entry__ as entrymod
 from miekki.session import build_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# oracles that embed a fit from the parquet (quality_clf) must fit at
+# the sf this check runs at, not the driver's default sf0.01
+os.environ["MIEKKI_ORACLE_SF_DIR"] = SF_DIR
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 

@@ -87,3 +87,66 @@ def test_stride_validation(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, norm string")
     with pytest.raises(ValueError, match="stride"):
         chunk_passages(df, chunk_len=8, stride=9)
+
+
+# ---------------- token-space windows (chunk_tokens) ----------------
+
+
+def test_tokens_coverage_overlap_and_empty_pin(spark):
+    from miekki.chunking import chunk_tokens
+
+    rows = [(i, [f"t{j}" for j in range(0, (i * 37) % 53)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    L, S = 8, 6
+    out = chunk_tokens(df, chunk_len=L, stride=S).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, tok in rows:
+        got = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        if not tok:
+            assert len(got) == 1 and got[0]["chunk"] == [] \
+                and got[0]["n_tok"] == 0          # pinned empty chunk
+            continue
+        covered = []
+        for i, r in enumerate(got):
+            assert r["chunk"] == tok[i * S: i * S + L]
+            covered.extend(range(i * S, i * S + len(r["chunk"])))
+        assert set(covered) == set(range(len(tok)))   # full coverage
+        if len(got) > 1:                              # exact overlap
+            assert got[0]["chunk"][S:] == got[1]["chunk"][:L - S]
+
+
+def test_tokens_map_only_plan(spark):
+    from miekki.chunking import chunk_tokens
+
+    df = spark.createDataFrame([(1, ["a", "b"])],
+                               "doc_id long, tokens array<string>")
+    plan = chunk_tokens(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tokens_duckdb_twin_parity(spark):
+    import pandas as pd
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from miekki.chunking import chunk_tokens, chunk_tokens_duck_sql
+
+    rows = [(i, [f"t{j}" for j in range(0, (i * 37) % 53)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = (chunk_tokens(df, chunk_len=8, stride=6)
+           .withColumn("chunk", F.concat_ws(" ", "chunk"))
+           .toPandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(rows, columns=["doc_id", "toks"]))
+    duck = (con.sql(chunk_tokens_duck_sql(
+        "SELECT doc_id, toks FROM d", chunk_len=8, stride=6)).df()
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    cols = sorted(got.columns)
+    assert got[cols].astype(str).equals(duck[cols].astype(str))

@@ -134,3 +134,82 @@ def test_seq_index_exact_past_double_precision(spark):
                      rank_col=F.col("doc_id")).collect()}
     assert rows[2]["seq_first"] == big // 3          # exact integer //
     assert rows[1]["seq_last"] == (big - 1) // 3
+
+
+# ---------------- token-space pieces (pack_pieces) ----------------
+
+TOK_ROWS = [(i, [f"t{i}_{j}" for j in range(0, (i * 37) % 53)])
+            for i in range(60)]          # sizes 0..52 incl. empties
+PL = 16
+
+
+def _pieces(spark):
+    from miekki.packing import pack_pieces
+
+    df = spark.createDataFrame(TOK_ROWS, "doc_id long, tokens array<string>")
+    return pack_pieces(
+        df, seq_len=PL, n_buckets=4,
+        bucket_col=F.expr("pmod(pmod(doc_id, 1000003) * 2654435761, 4)"),
+        rank_col=F.expr("pmod(pmod(doc_id, 1000003) * 48271, 2147483648)"))
+
+
+def test_pieces_conservation_per_doc(spark):
+    """sum(n_piece) per doc = n_tok, and concatenating a doc's pieces
+    in seq order reproduces its token array exactly."""
+    rows = _pieces(spark).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    toks = dict(TOK_ROWS)
+    for doc_id, tok in toks.items():
+        got = sorted(by_doc.get(doc_id, []), key=lambda r: r["seq"])
+        assert sum(r["n_piece"] for r in got) == len(tok)
+        assert [t for r in got for t in r["piece"]] == tok
+        if not tok:
+            assert got == []          # zero-token docs emit no pieces
+
+
+def test_pieces_tile_sequences(spark):
+    """Within (bucket, seq) the pieces tile [0, seq_len) exactly once
+    — except each bucket's final partial sequence, which tiles
+    [0, total mod seq_len)."""
+    rows = _pieces(spark).collect()
+    by_seq, bucket_tot = {}, {}
+    for r in rows:
+        by_seq.setdefault((r["bucket"], r["seq"]), []).append(r)
+        bucket_tot[r["bucket"]] = bucket_tot.get(r["bucket"], 0) + r["n_piece"]
+    for (b, s), ps in by_seq.items():
+        ps.sort(key=lambda r: r["seq_off"])
+        pos = 0
+        for p in ps:
+            assert p["seq_off"] == pos, (b, s, p)
+            pos += p["n_piece"]
+        last = (bucket_tot[b] - 1) // PL
+        assert pos == (PL if s < last else bucket_tot[b] - last * PL)
+
+
+def test_pieces_one_shuffle_plan(spark):
+    """pack_pieces keeps seq_pack's single-Exchange shape: the token
+    array rides the bucket shuffle, the explode is map-only after."""
+    plan = _pieces(spark)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pieces_duckdb_twin_parity(spark):
+    import pandas as pd
+
+    from miekki.packing import pack_pieces_duck_sql
+
+    got = (_pieces(spark)
+           .withColumn("piece", F.concat_ws(" ", "piece"))
+           .toPandas().sort_values(["doc_id", "seq"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(TOK_ROWS, columns=["doc_id", "toks"]))
+    duck = (con.sql(pack_pieces_duck_sql(
+        "SELECT doc_id, toks FROM d", seq_len=PL, n_buckets=4)).df()
+        .sort_values(["doc_id", "seq"]).reset_index(drop=True))
+    cols = sorted(got.columns)
+    assert sorted(duck.columns) == cols
+    assert got[cols].astype(str).equals(duck[cols].astype(str))
