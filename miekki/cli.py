@@ -291,6 +291,31 @@ def cmd_curate(args):
             "n_chunks": cat.read("doc_chunks").count(),
             "chunk_len": args.chunk_len, "stride": args.chunk_stride}
 
+    # 8. optional semantic dedup (X31 over X36 text embeddings) — an
+    # auditable second-pass signal over the curated survivors: which
+    # kept docs are still semantic near-dups of each other (the
+    # lexical passes above catch token overlap; the embedding pass
+    # catches paraphrase-level similarity)
+    semdedup_summary = None
+    if args.emit_semdedup:
+        from miekki.semdedup import semantic_dedup
+        from miekki.text_embed import text_embed
+
+        cur_norm = (docs.select("doc_id", F.col("norm_text")
+                                .alias("norm"))
+                    .join(cur.select("doc_id"), "doc_id", "left_semi"))
+        sem = semantic_dedup(text_embed(cur_norm),
+                             n_cells=args.semdedup_cells,
+                             threshold=args.semdedup_threshold,
+                             vec_col="vec", id_col="doc_id")
+        cat.overwrite("doc_semdedup", sem, run_id=args.run_id)
+        sd = cat.read("doc_semdedup")
+        semdedup_summary = {
+            "n_docs": sd.count(),
+            "n_semantic_dups": sd.where("is_semantic_dup").count(),
+            "n_cells": args.semdedup_cells,
+            "threshold": args.semdedup_threshold}
+
     print(json.dumps({
         "run_id": args.run_id,
         "funnel": {"input": n_input, "after_filter": n_filtered,
@@ -305,6 +330,7 @@ def cmd_curate(args):
                     .agg(F.count(F.lit(1)).alias("n")).collect()},
         "pack": pack_summary,
         "chunks": chunk_summary,
+        "semdedup": semdedup_summary,
         "wall_sec": round(time.time() - t0, 2),
     }))
 
@@ -367,6 +393,12 @@ def main(argv=None):
                          " survivors' normalized text)")
     pc.add_argument("--chunk-len", type=int, default=2048)
     pc.add_argument("--chunk-stride", type=int, default=1792)
+    pc.add_argument("--emit-semdedup", action="store_true",
+                    help="also write doc_semdedup (X31 SemDeDup over"
+                         " X36 text embeddings of the curated"
+                         " survivors)")
+    pc.add_argument("--semdedup-cells", type=int, default=32)
+    pc.add_argument("--semdedup-threshold", type=float, default=0.95)
     pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)

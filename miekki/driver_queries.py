@@ -859,6 +859,39 @@ def q_seq_pack(spark, sf_dir):
             "pmod(pmod(doc_id, 1000003) * 48271, 2147483648)"))
 
 
+def q_semdedup_text(spark, sf_dir):
+    """X31 over the TEXT corpus via X36 hashed-shingle projection
+    embeddings (VERDICT r4 next-step #7): embed every normalized doc
+    (map-only mapInArrow), union 20 planted exact twins (doc_id +
+    10^6), run SemDeDup. Contract: (a) every input row comes back
+    exactly once; (b) identical text ⇒ identical embedding ⇒ each
+    planted twin group keeps at most one survivor; (c) doc count
+    recomputed by the oracle."""
+    from miekki.semdedup import semantic_dedup
+    from miekki.text_embed import text_embed
+
+    docs = _norm_docs(spark, sf_dir).localCheckpoint()
+    planted = (docs.where(F.col("doc_id") < 20)
+               .select((F.col("doc_id") + 10**6).alias("doc_id"), "norm"))
+    all_docs = docs.unionByName(planted)
+    out = semantic_dedup(text_embed(all_docs), n_cells=8,
+                         threshold=0.95, vec_col="vec",
+                         id_col="doc_id").localCheckpoint()
+    n_in = all_docs.count()
+    rows_once = (out.count() == n_in
+                 and out.select("doc_id").distinct().count() == n_in)
+    # each planted group (orig i, twin i+10^6): ≤ 1 unflagged member
+    kept = out.where(~F.col("is_semantic_dup")).select("doc_id")
+    grp = kept.select(F.pmod("doc_id", F.lit(10**6)).alias("g")) \
+        .where(F.col("g") < 20).groupBy("g") \
+        .agg(F.count(F.lit(1)).alias("k"))
+    max_kept = grp.agg(F.max("k")).first()[0] or 0
+    n_docs = docs.count()
+    return spark.createDataFrame(
+        [(bool(rows_once), bool(max_kept <= 1), int(n_docs))],
+        "rows_once boolean, twins_collapsed boolean, n_docs long")
+
+
 def q_curate_funnel(spark, sf_dir):
     """End-to-end contract over the cli.py curate composition
     (VERDICT r4 next-step #5): run the FULL funnel (ingest → filter
@@ -1483,6 +1516,7 @@ QUERIES: dict[str, Callable] = {
     "lm_score": q_lm_score,
     "quality_clf": q_quality_clf,
     "curate_funnel": q_curate_funnel,
+    "semdedup_text": q_semdedup_text,
     "dsir_select": q_dsir_select,
     "seq_pack": q_seq_pack,
     "chunk_passages": q_chunk_passages,
@@ -1837,6 +1871,9 @@ def _extras_oracle_sql() -> dict[str, str]:
         "vocab_topk": vocab_topk_duck_sql(_NORM_CTE, k=100),
         "lm_score": lm_score_duck_sql(_NORM_CTE),
         "quality_clf": _quality_clf_oracle(),
+        "semdedup_text": (
+            "SELECT true AS rows_once, true AS twins_collapsed,"
+            " count(*) AS n_docs FROM documents"),
         "curate_funnel": (
             "SELECT true AS filter_conserved, true AS dedup_conserved,"
             " true AS tiers_conserved, true AS tiers_consistent,"

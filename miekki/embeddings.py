@@ -244,6 +244,10 @@ def kmeans_centroids(vectors: DataFrame, n_centroids: int = 32,
     m = _densify(tbl.column(vec_col))       # flat-buffer, no row loop
     if len(m) == 0:
         raise ValueError("kmeans_centroids: no vectors to fit on")
+    if not m.flags.writeable:
+        # the zero-copy fast path views the Arrow buffer read-only;
+        # the in-place normalize below needs its own memory
+        m = m.copy()
     # a tiny table must not crash rng.choice(replace=False); fewer
     # centroids than asked is the correct degraded quantizer
     n_centroids = min(n_centroids, len(m))

@@ -58,7 +58,8 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
           "--mix", "en=0.5", "--default-rate", "1.0",
           "--splits", "train=0.8,val=0.1,test=0.1", "--emit-lm",
           "--emit-dsir", "--emit-pack", "--seq-len", "256",
-          "--emit-chunks", "--chunk-len", "128", "--chunk-stride", "96"])
+          "--emit-chunks", "--chunk-len", "128", "--chunk-stride", "96",
+          "--emit-semdedup", "--semdedup-cells", "4"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     f = out["funnel"]
@@ -107,6 +108,15 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
                cat.read("curated").select("doc_id").collect()}
     assert set(ck["doc_id"]) == cur_ids
     assert (ck["n_chars"] <= 128).all()
+
+    # --emit-semdedup: one X31 verdict row per CURATED doc; dup count
+    # matches the summary; flags are boolean-sane
+    sd = cat.read("doc_semdedup").toPandas()
+    assert len(sd) == f["curated"]
+    assert out["semdedup"]["n_docs"] == f["curated"]
+    assert out["semdedup"]["n_semantic_dups"] == int(
+        sd["is_semantic_dup"].sum())
+    assert set(sd["doc_id"]) == cur_ids
 
     cur = cat.read("curated").toPandas()
     assert len(cur) == f["curated"]
