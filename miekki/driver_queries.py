@@ -1956,3 +1956,218 @@ def _extras_oracle_sql() -> dict[str, str]:
 
 
 ORACLE_SQL.update(_extras_oracle_sql())
+
+
+# ======================================================================
+# Round-5 registry: fold sibling contract keys + reorder (VERDICT r4
+# next-step #1).
+#
+# Evidence: CORRECTNESS_r04.json recorded exactly the FIRST 50 keys of
+# the then-67-key dict, in dict order — the driver caps its check at 50
+# keys. r3 recorded all 48 of 48. So the registry must stay <= 50 keys
+# for every operator to get an artifact row. Two moves:
+#   * FOLD sibling contract keys (1-row boolean pins) into per-family
+#     (contract, ok) union keys — sig_contracts, pipeline_contracts,
+#     embed_media_suite — and the small full-value twins into ONE
+#     long-format (metric, value) key, relational_counts, which keeps
+#     their value-twin status (DuckDB still recomputes every number).
+#   * ORDER the dict so keys that have never appeared in a driver
+#     artifact (and this round's new keys) come first.
+# The unfolded per-key queries remain importable for pytest and local
+# debugging via _ALL_QUERIES/_ALL_ORACLE_SQL.
+# ======================================================================
+
+_ALL_QUERIES: dict[str, Callable] = dict(QUERIES)
+_ALL_ORACLE_SQL: dict[str, str] = dict(ORACLE_SQL)
+
+
+def _contract_fold(subs: dict[str, Callable]) -> Callable:
+    """Fold contract sub-keys into one (contract, ok) frame: per
+    sub-key, ok = frame is non-empty AND every boolean column is
+    all-true AND (for frames with NO boolean columns — the pinned-
+    zero pattern: extract_invariant, determinism) every integer
+    column is all-zero. The Spark side computes the real properties;
+    the oracle pins one `true` per sub-key."""
+    def q(spark, sf_dir):
+        frames = []
+        for name, fn in subs.items():
+            df = fn(spark, sf_dir)
+            bools = [c for c, t in df.dtypes if t == "boolean"]
+            longs = [c for c, t in df.dtypes
+                     if t in ("bigint", "int", "smallint")]
+            aggs = [F.count(F.lit(1)).alias("_n")]
+            aggs += [F.min(F.col(c).cast("int")).alias(f"_b_{c}")
+                     for c in bools]
+            if not bools:
+                aggs += [F.max(F.abs(F.col(c))).alias(f"_z_{c}")
+                         for c in longs]
+            agg = df.agg(*aggs)
+            ok = F.col("_n") > 0
+            for c in bools:
+                ok = ok & (F.col(f"_b_{c}") == 1)
+            if not bools:
+                for c in longs:
+                    ok = ok & (F.col(f"_z_{c}") == 0)
+            frames.append(agg.select(F.lit(name).alias("contract"),
+                                     ok.alias("ok")))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+    return q
+
+
+def _contract_fold_oracle(names) -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{n}' AS contract, true AS ok" for n in names)
+
+
+_SIG_CONTRACTS = {
+    "minhash_sig": q_minhash_contract,
+    "simhash_sig": q_simhash_contract,
+    "bands": q_bands,
+    "simhash_pairs": q_simhash_pairs,
+    "substr_pairs": q_substr_pairs,
+    "verify_jaccard": q_verify_jaccard,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+_PIPELINE_CONTRACTS = {
+    "extract_invariant": q_extract_invariant,
+    "dedup_pipeline": q_dedup_pipeline,
+    "incremental_dedup": q_incremental_dedup,
+    "determinism": q_determinism,
+    "simhash_sorted": q_simhash_sorted,
+}
+_EMBED_MEDIA_SUITE = {
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "embedding_dedup": q_embedding_dedup,
+    "semantic_dedup": q_semantic_dedup,
+    "media_decode": q_media_decode,
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,
+}
+
+
+def q_profile_full(spark, sf_dir):
+    """profile + profile_approx folded: the per-lang exact profile
+    (full value twin) with the HLL++ accuracy contract as one more
+    boolean column."""
+    return q_profile(spark, sf_dir).join(
+        q_profile_approx(spark, sf_dir), "lang")
+
+
+def q_relational_counts(spark, sf_dir):
+    """Six small full-value twins folded into ONE long-format
+    (metric, value double) frame — q_setops, semi_anti,
+    id_collisions, embedding_norms, windowed_events, sessions. Every
+    number is still recomputed independently by the DuckDB oracle
+    (this is a value twin, not a contract); metric keys embed the
+    original group keys so rows stay 1:1 with the unfolded outputs.
+    All values are integers, epoch seconds, or already-rounded
+    2/4-decimal doubles — exact in float64 on both engines."""
+    def _pairs(df, *cols):
+        return (df.select(F.explode(F.array(*[
+            F.struct(m.alias("metric"), v.cast("double").alias("value"))
+            for m, v in cols])).alias("e")).select("e.*"))
+
+    so = _pairs(q_setops(spark, sf_dir),
+                (F.lit("setops_orphans"), F.col("n_orphans")),
+                (F.lit("setops_active"), F.col("n_active")))
+    sa = _pairs(q_semi_anti(spark, sf_dir),
+                (F.lit("semi"), F.col("n_semi")),
+                (F.lit("anti"), F.col("n_anti")))
+    ic = (q_id_collisions(spark, sf_dir).select(
+        F.concat(F.lit("idcol_"), F.col("doc_id").cast("string"))
+        .alias("metric"), F.col("n_urls").cast("double").alias("value")))
+    en = _pairs(q_embedding_norms(spark, sf_dir),
+                (F.concat(F.lit("dim_"), F.col("vec_id").cast("string")),
+                 F.col("dim")),
+                (F.concat(F.lit("l2_"), F.col("vec_id").cast("string")),
+                 F.col("l2_norm")))
+    wk = F.concat(F.lit("we_"), F.col("window_epoch").cast("string"),
+                  F.lit("_"), F.col("event_type"))
+    we = _pairs(q_windowed_events(spark, sf_dir),
+                (F.concat(wk, F.lit("_n")), F.col("n_events")),
+                (F.concat(wk, F.lit("_sum")), F.col("sum_value")))
+    sk = F.concat(F.lit("sess_"), F.col("user_id").cast("string"),
+                  F.lit("_"), F.col("start_epoch").cast("string"))
+    ss = _pairs(q_sessions(spark, sf_dir),
+                (F.concat(sk, F.lit("_n")), F.col("n_events")),
+                (F.concat(sk, F.lit("_sum")), F.col("sum_value")),
+                (F.concat(sk, F.lit("_end")), F.col("end_epoch")))
+    out = so
+    for f in (sa, ic, en, we, ss):
+        out = out.unionByName(f)
+    return out
+
+
+def _relational_counts_oracle() -> str:
+    o = _ALL_ORACLE_SQL
+    parts = [
+        f"SELECT 'setops_orphans' AS metric,"
+        f" CAST(n_orphans AS DOUBLE) AS value FROM ({o['q_setops']})",
+        f"SELECT 'setops_active', CAST(n_active AS DOUBLE)"
+        f" FROM ({o['q_setops']})",
+        f"SELECT 'semi', CAST(n_semi AS DOUBLE) FROM ({o['semi_anti']})",
+        f"SELECT 'anti', CAST(n_anti AS DOUBLE) FROM ({o['semi_anti']})",
+        f"SELECT 'idcol_' || CAST(doc_id AS VARCHAR),"
+        f" CAST(n_urls AS DOUBLE) FROM ({o['id_collisions']})",
+        f"SELECT 'dim_' || CAST(vec_id AS VARCHAR), CAST(dim AS DOUBLE)"
+        f" FROM ({o['embedding_norms']})",
+        f"SELECT 'l2_' || CAST(vec_id AS VARCHAR), l2_norm"
+        f" FROM ({o['embedding_norms']})",
+        f"SELECT 'we_' || CAST(window_epoch AS VARCHAR) || '_' ||"
+        f" event_type || '_n', CAST(n_events AS DOUBLE)"
+        f" FROM ({o['windowed_events']})",
+        f"SELECT 'we_' || CAST(window_epoch AS VARCHAR) || '_' ||"
+        f" event_type || '_sum', sum_value"
+        f" FROM ({o['windowed_events']})",
+        f"SELECT 'sess_' || CAST(user_id AS VARCHAR) || '_' ||"
+        f" CAST(start_epoch AS VARCHAR) || '_n', CAST(n_events AS DOUBLE)"
+        f" FROM ({o['sessions']})",
+        f"SELECT 'sess_' || CAST(user_id AS VARCHAR) || '_' ||"
+        f" CAST(start_epoch AS VARCHAR) || '_sum', sum_value"
+        f" FROM ({o['sessions']})",
+        f"SELECT 'sess_' || CAST(user_id AS VARCHAR) || '_' ||"
+        f" CAST(start_epoch AS VARCHAR) || '_end',"
+        f" CAST(end_epoch AS DOUBLE) FROM ({o['sessions']})",
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_FOLDED_AWAY = (set(_SIG_CONTRACTS) | set(_PIPELINE_CONTRACTS)
+                | set(_EMBED_MEDIA_SUITE)
+                | {"q_setops", "semi_anti", "id_collisions",
+                   "embedding_norms", "windowed_events", "sessions",
+                   "profile", "profile_approx"})
+
+# never-driver-recorded (r4 artifact stopped at key 50) and new-this-
+# round keys FIRST; previously-recorded full twins after
+_FRONT = [
+    "seq_pack", "chunk_passages", "pack_pieces", "chunk_tokens",
+    "quality_clf", "semdedup_text", "curate_funnel", "asof_join",
+    "ann_brute",
+]
+
+QUERIES = {name: _ALL_QUERIES[name] for name in _FRONT}
+QUERIES["embed_media_suite"] = _contract_fold(_EMBED_MEDIA_SUITE)
+QUERIES["relational_counts"] = q_relational_counts
+QUERIES["sig_contracts"] = _contract_fold(_SIG_CONTRACTS)
+QUERIES["pipeline_contracts"] = _contract_fold(_PIPELINE_CONTRACTS)
+QUERIES["profile"] = q_profile_full
+for _name, _fn in _ALL_QUERIES.items():
+    if _name not in QUERIES and _name not in _FOLDED_AWAY:
+        QUERIES[_name] = _fn
+
+ORACLE_SQL = {k: v for k, v in _ALL_ORACLE_SQL.items()
+              if k in QUERIES and k != "profile"}
+ORACLE_SQL["embed_media_suite"] = _contract_fold_oracle(_EMBED_MEDIA_SUITE)
+ORACLE_SQL["relational_counts"] = _relational_counts_oracle()
+ORACLE_SQL["sig_contracts"] = _contract_fold_oracle(_SIG_CONTRACTS)
+ORACLE_SQL["pipeline_contracts"] = _contract_fold_oracle(_PIPELINE_CONTRACTS)
+ORACLE_SQL["profile"] = (
+    f"SELECT p.*, true AS within_5pct FROM ({_ALL_ORACLE_SQL['profile']}) p")
+ORACLE_SQL = {k: ORACLE_SQL[k] for k in QUERIES if k in ORACLE_SQL}
+
+assert len(QUERIES) <= 50, len(QUERIES)
