@@ -1,0 +1,151 @@
+"""X38 — byte-pair-encoding tokenizer (Sennrich, Haddow & Birch,
+"Neural Machine Translation of Rare Words with Subword Units", ACL
+2016 — the public design this derives from), completing the loader
+story: X33t/X34t pack and chunk PRE-TOKENIZED arrays, and this is
+the in-repo tokenizer that produces them.
+
+Pinned spec (deterministic end to end):
+  words       = X30's whitespace tokenizer (split on ' ', drop
+                empties — ONE vocabulary convention repo-wide)
+  word form   = its characters followed by the end-of-word marker
+                '</w>' (the paper's formulation)
+  fit         = word-count table over a bounded DETERMINISTIC sample
+                (lowest doc_ids — the X35/kmeans pattern), then
+                n_merges greedy iterations; each picks the pair with
+                the HIGHEST count, ties broken by lexicographically
+                SMALLEST pair, and merges its non-overlapping
+                occurrences left-to-right in every word. Counts are
+                integers and the tie-break is total, so the merge
+                list is reproducible from any collect order.
+  apply       = per word, repeatedly merge the LOWEST-RANK pair
+                present (leftmost-first within an iteration) until
+                none applies — the paper's inference procedure.
+  round-trip  = concat(tokens) minus '</w>' markers == the doc's
+                characters minus spaces (pinned, driver-checked).
+
+Scale shape: the fit is driver-side on a bounded sample (at 10^12
+docs a tokenizer is always fit on a sample — what must scale is
+APPLICATION). Application is ONE map-only mapInArrow pass with the
+merge table broadcast by closure (n_merges entries, kilobytes) and a
+per-batch word→tokens cache — Zipf makes the hit rate high, so the
+per-word Python loop amortizes to a dict lookup for the bulk of
+occurrences. This is the documented Python-kernel slow path: the
+SPEC is the contract; a production deployment swaps in a compiled
+tokenizer with identical merges and the same driver contract keeps
+holding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from miekki.lm import _tokens
+
+EOW = "</w>"
+N_MERGES_DEFAULT = 200
+FIT_SAMPLE_DEFAULT = 2000
+
+
+def _merge_word(word: tuple[str, ...], pair: tuple[str, str]
+                ) -> tuple[str, ...]:
+    """Merge non-overlapping occurrences of `pair`, leftmost first."""
+    a, b = pair
+    out: list[str] = []
+    i = 0
+    while i < len(word):
+        if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return tuple(out)
+
+
+def fit_bpe_from_counts(word_counts: dict[str, int],
+                        n_merges: int = N_MERGES_DEFAULT
+                        ) -> list[tuple[str, str]]:
+    """THE shared fit kernel (pure Python — the pytest oracle calls
+    it on hand counts, fit_bpe on Spark-collected counts): greedy
+    merges with the pinned (count DESC, pair ASC) selection."""
+    vocab = {tuple(w) + (EOW,): c for w, c in word_counts.items() if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for p in zip(word, word[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best_n = max(pair_counts.values())
+        best = min(p for p, n in pair_counts.items() if n == best_n)
+        merges.append(best)
+        vocab = {_merge_word(w, best): c for w, c in vocab.items()}
+    return merges
+
+
+def fit_bpe(docs: DataFrame, n_merges: int = N_MERGES_DEFAULT,
+            sample: int = FIT_SAMPLE_DEFAULT,
+            norm_col: str = "norm") -> list[tuple[str, str]]:
+    """Fit on the deterministic lowest-id sample. The ONE collect is
+    the sample's bounded word-count table."""
+    counts = (docs.select("doc_id", norm_col).orderBy("doc_id")
+              .limit(sample)
+              .select(F.explode(_tokens(norm_col)).alias("w"))
+              .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+              .collect())
+    return fit_bpe_from_counts({r["w"]: r["n"] for r in counts},
+                               n_merges)
+
+
+def apply_bpe_word(word: str, rank: dict[tuple[str, str], int]
+                   ) -> list[str]:
+    """Inference: repeatedly merge the lowest-rank pair present."""
+    symbols = list(word) + [EOW]
+    while len(symbols) > 1:
+        best_r, best_p = None, None
+        for p in zip(symbols, symbols[1:]):
+            r = rank.get(p)
+            if r is not None and (best_r is None or r < best_r):
+                best_r, best_p = r, p
+        if best_p is None:
+            break
+        symbols = list(_merge_word(tuple(symbols), best_p))
+    return symbols
+
+
+def bpe_tokenize(docs: DataFrame, merges: list[tuple[str, str]],
+                 norm_col: str = "norm") -> DataFrame:
+    """(doc_id, tokens: array<string>) — map-only mapInArrow; merge
+    ranks ride the task closure; per-batch word cache amortizes the
+    per-word loop over Zipfian repetition."""
+    rank = {tuple(p): i for i, p in enumerate(merges)}
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        cache: dict[str, list[str]] = {}
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            texts = batch.column("norm_col_").to_pylist()
+            toks_per_doc = []
+            for t in texts:
+                out: list[str] = []
+                for w in (t or "").split(" "):
+                    if not w:
+                        continue
+                    got = cache.get(w)
+                    if got is None:
+                        got = apply_bpe_word(w, rank)
+                        cache[w] = got
+                    out.extend(got)
+                toks_per_doc.append(out)
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, pa.array(toks_per_doc,
+                                  type=pa.list_(pa.string()))],
+                names=["doc_id", "tokens"])
+
+    slim = docs.select(
+        "doc_id",
+        F.coalesce(F.col(norm_col), F.lit("")).alias("norm_col_"))
+    return slim.mapInArrow(kernel, "doc_id long, tokens array<string>")

@@ -2031,12 +2031,43 @@ _SIG_CONTRACTS = {
     "verify_jaccard": q_verify_jaccard,
     "doc_fingerprint": q_doc_fingerprint,
 }
+def q_bpe_contract(spark, sf_dir):
+    """X38 — BPE tokenizer contract: fit deterministic merges on the
+    lowest-id sample, tokenize the whole corpus, pin (a) round-trip —
+    concat(tokens) minus end-of-word markers equals the doc minus
+    spaces for EVERY doc, (b) non-empty output, (c) the subword
+    vocabulary stays within base-chars + n_merges growth. The merge
+    list itself is pinned by hand goldens in tests/test_bpe.py."""
+    from miekki.bpe import EOW, bpe_tokenize, fit_bpe
+
+    n_merges = 100
+    docs = _norm_docs(spark, sf_dir).localCheckpoint()
+    merges = fit_bpe(docs, n_merges=n_merges, sample=200)
+    toks = bpe_tokenize(docs, merges).localCheckpoint()
+    j = (toks.join(docs, "doc_id")
+         .select((F.regexp_replace(F.concat_ws("", "tokens"), EOW, "")
+                  == F.regexp_replace(F.coalesce("norm", F.lit("")),
+                                      " ", "")).alias("rt")))
+    n_docs = j.count()
+    rt_ok = j.where(~F.col("rt")).count() == 0
+    n_tok_vocab = (toks.select(F.explode("tokens").alias("t"))
+                   .select("t").distinct().count())
+    n_chars = (docs.select(F.explode(F.split(F.regexp_replace(
+        F.coalesce("norm", F.lit("")), " ", ""), "")).alias("c"))
+        .where(F.col("c") != "").distinct().count())
+    return spark.createDataFrame(
+        [(bool(rt_ok), bool(n_docs > 0),
+          bool(n_tok_vocab <= 2 * n_chars + n_merges + 1))],
+        "round_trip boolean, nonempty boolean, vocab_bounded boolean")
+
+
 _PIPELINE_CONTRACTS = {
     "extract_invariant": q_extract_invariant,
     "dedup_pipeline": q_dedup_pipeline,
     "incremental_dedup": q_incremental_dedup,
     "determinism": q_determinism,
     "simhash_sorted": q_simhash_sorted,
+    "bpe_tokenize": q_bpe_contract,
 }
 _EMBED_MEDIA_SUITE = {
     "ann_lsh": q_ann_lsh,

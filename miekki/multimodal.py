@@ -32,7 +32,7 @@ MEDIA_SCHEMA = ("media_id long, kind string, payload binary,"
 DECODED_SCHEMA = ("media_id long, kind string, width int, height int,"
                   " n_channels int, n_frames int, ok boolean")
 FEATURE_DIM = 8
-FEATURES_SCHEMA = f"media_id long, features array<double>"
+FEATURES_SCHEMA = "media_id long, features array<double>"
 FRAMES_SCHEMA = ("media_id long, frame_idx int, frame_payload binary,"
                  " frame_hash long")
 
