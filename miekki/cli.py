@@ -316,6 +316,26 @@ def cmd_curate(args):
             "n_cells": args.semdedup_cells,
             "threshold": args.semdedup_threshold}
 
+    # 9. optional shard assignment (X39) — the terminal write-side
+    # step: a deterministic global shuffle of the curated survivors
+    # into balanced training shards (train split only: val/test are
+    # read whole, never streamed shard-wise)
+    shard_summary = None
+    if args.emit_shards:
+        from miekki.sharding import shard_assign, shard_stats
+
+        assigned = shard_assign(
+            cur.where(F.col("split") == "train").select("doc_id"),
+            n_shards=args.n_shards)
+        cat.overwrite("doc_shards", assigned, run_id=args.run_id)
+        st = (shard_stats(cat.read("doc_shards"))
+              .agg(F.count(F.lit(1)).alias("shards"),
+                   F.min("n_docs").alias("mn"),
+                   F.max("n_docs").alias("mx")).first())
+        shard_summary = {"n_shards": args.n_shards,
+                         "shards_used": st["shards"],
+                         "min_docs": st["mn"], "max_docs": st["mx"]}
+
     print(json.dumps({
         "run_id": args.run_id,
         "funnel": {"input": n_input, "after_filter": n_filtered,
@@ -331,6 +351,7 @@ def cmd_curate(args):
         "pack": pack_summary,
         "chunks": chunk_summary,
         "semdedup": semdedup_summary,
+        "shards": shard_summary,
         "wall_sec": round(time.time() - t0, 2),
     }))
 
@@ -393,6 +414,10 @@ def main(argv=None):
                          " survivors' normalized text)")
     pc.add_argument("--chunk-len", type=int, default=2048)
     pc.add_argument("--chunk-stride", type=int, default=1792)
+    pc.add_argument("--emit-shards", action="store_true",
+                    help="assign curated train docs to balanced "
+                         "training shards (X39 doc_shards table)")
+    pc.add_argument("--n-shards", type=int, default=64)
     pc.add_argument("--emit-semdedup", action="store_true",
                     help="also write doc_semdedup (X31 SemDeDup over"
                          " X36 text embeddings of the curated"

@@ -1094,6 +1094,25 @@ def q_split_assign(spark, sf_dir):
                                        ("test", 0.1)), rank_col=rk)
 
 
+# prime >> n_shards so the portable rank both permutes (multiplicative
+# hash) and leaves no shard-aliasing structure; production rank is
+# xxhash64 and needs no modulus at all
+_SHARD_RANK_MOD = 999983
+_N_SHARDS_TWIN = 16
+
+
+def q_shard_assign(spark, sf_dir):
+    """X39: deterministic corpus shuffle + training-shard assignment
+    (miekki/sharding.py). Portable multiplicative rank stands in for
+    xxhash64("shard", seed, doc_id) so DuckDB recomputes every row;
+    the shard/pos arithmetic under test is identical either way."""
+    from miekki.sharding import shard_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rk = F.expr(f"pmod(doc_id * 2654435761, {_SHARD_RANK_MOD})")
+    return shard_assign(docs, n_shards=_N_SHARDS_TWIN, rank_col=rk)
+
+
 def q_line_dedup(spark, sf_dir):
     """X23: corpus-wide keep-first line dedup (boilerplate removal)
     over deterministically line-ified docs. Full per-row DuckDB value
@@ -1510,6 +1529,7 @@ QUERIES: dict[str, Callable] = {
     "filter_battery": q_filter_battery,
     "domain_cap": q_domain_cap,
     "split_assign": q_split_assign,
+    "shard_assign": q_shard_assign,
     "dedup_tiers": q_dedup_tiers,
     "cluster_cap": q_cluster_cap,
     "mix_sample": q_mix_sample,
@@ -1805,6 +1825,7 @@ def _extras_oracle_sql() -> dict[str, str]:
     from miekki.dsir import RANK_BUCKETS, dsir_duck_sql
     from miekki.lm import lm_score_duck_sql
     from miekki.packing import pack_pieces_duck_sql, seq_pack_duck_sql
+    from miekki.sharding import shard_assign_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
     from miekki.tiers import (MIX_BUCKETS, cluster_cap_duck_sql,
                               mix_sample_duck_sql, tier_labels_duck_sql)
@@ -1914,6 +1935,11 @@ def _extras_oracle_sql() -> dict[str, str]:
             f"((doc_id * 2654435761) % {SPLIT_BUCKETS} + {SPLIT_BUCKETS})"
             f" % {SPLIT_BUCKETS}",
             weights=(("train", 0.8), ("val", 0.1), ("test", 0.1))),
+        "shard_assign": shard_assign_duck_sql(
+            "documents",
+            f"((doc_id * 2654435761) % {_SHARD_RANK_MOD}"
+            f" + {_SHARD_RANK_MOD}) % {_SHARD_RANK_MOD}",
+            n_shards=_N_SHARDS_TWIN),
         "filter_battery": filter_battery_duck_sql(
             f"(SELECT doc_id, {_NORM_DUCK} AS norm,"
             f" {_PII_TEXT_DUCK} AS ptext FROM documents)",
@@ -2081,11 +2107,15 @@ _EMBED_MEDIA_SUITE = {
 
 
 def q_profile_full(spark, sf_dir):
-    """profile + profile_approx folded: the per-lang exact profile
-    (full value twin) with the HLL++ accuracy contract as one more
-    boolean column."""
-    return q_profile(spark, sf_dir).join(
-        q_profile_approx(spark, sf_dir), "lang")
+    """profile + profile_approx + scan_corpus folded: the per-lang
+    exact profile (full value twin) with scan_corpus's total_chars and
+    the HLL++ accuracy contract as additional columns (all three
+    group by lang; the fold freed a registry slot for shard_assign
+    under the driver's 50-key cap)."""
+    return (q_profile(spark, sf_dir)
+            .join(q_scan_corpus(spark, sf_dir).select(
+                "lang", "total_chars"), "lang")
+            .join(q_profile_approx(spark, sf_dir), "lang"))
 
 
 def q_relational_counts(spark, sf_dir):
@@ -2171,14 +2201,14 @@ _FOLDED_AWAY = (set(_SIG_CONTRACTS) | set(_PIPELINE_CONTRACTS)
                 | set(_EMBED_MEDIA_SUITE)
                 | {"q_setops", "semi_anti", "id_collisions",
                    "embedding_norms", "windowed_events", "sessions",
-                   "profile", "profile_approx"})
+                   "profile", "profile_approx", "scan_corpus"})
 
 # never-driver-recorded (r4 artifact stopped at key 50) and new-this-
 # round keys FIRST; previously-recorded full twins after
 _FRONT = [
     "seq_pack", "chunk_passages", "pack_pieces", "chunk_tokens",
-    "quality_clf", "semdedup_text", "curate_funnel", "asof_join",
-    "ann_brute",
+    "quality_clf", "semdedup_text", "curate_funnel", "shard_assign",
+    "asof_join", "ann_brute",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _FRONT}
@@ -2198,7 +2228,9 @@ ORACLE_SQL["relational_counts"] = _relational_counts_oracle()
 ORACLE_SQL["sig_contracts"] = _contract_fold_oracle(_SIG_CONTRACTS)
 ORACLE_SQL["pipeline_contracts"] = _contract_fold_oracle(_PIPELINE_CONTRACTS)
 ORACLE_SQL["profile"] = (
-    f"SELECT p.*, true AS within_5pct FROM ({_ALL_ORACLE_SQL['profile']}) p")
+    f"SELECT p.*, s.total_chars, true AS within_5pct"
+    f" FROM ({_ALL_ORACLE_SQL['profile']}) p"
+    f" JOIN ({_ALL_ORACLE_SQL['scan_corpus']}) s USING (lang)")
 ORACLE_SQL = {k: ORACLE_SQL[k] for k in QUERIES if k in ORACLE_SQL}
 
 assert len(QUERIES) <= 50, len(QUERIES)

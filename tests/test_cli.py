@@ -59,7 +59,8 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
           "--splits", "train=0.8,val=0.1,test=0.1", "--emit-lm",
           "--emit-dsir", "--emit-pack", "--seq-len", "256",
           "--emit-chunks", "--chunk-len", "128", "--chunk-stride", "96",
-          "--emit-semdedup", "--semdedup-cells", "4"])
+          "--emit-semdedup", "--semdedup-cells", "4",
+          "--emit-shards", "--n-shards", "4"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     f = out["funnel"]
@@ -117,6 +118,16 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
     assert out["semdedup"]["n_semantic_dups"] == int(
         sd["is_semantic_dup"].sum())
     assert set(sd["doc_id"]) == cur_ids
+
+    # --emit-shards: one X39 row per curated TRAIN doc; shard range
+    # and per-shard pos contiguity hold after the catalog round-trip
+    sh = cat.read("doc_shards").toPandas()
+    assert len(sh) == out["by_split"]["train"]
+    assert out["shards"]["n_shards"] == 4
+    assert set(sh["shard"]) <= set(range(4))
+    assert out["shards"]["max_docs"] == sh.groupby("shard").size().max()
+    for _, grp in sh.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
 
     cur = cat.read("curated").toPandas()
     assert len(cur) == f["curated"]

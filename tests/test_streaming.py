@@ -272,6 +272,107 @@ def test_incremental_shuffled_fallback_matches(spark, split_corpus,
     pd.testing.assert_frame_equal(base, fb)
 
 
+def test_fallback_repeated_family_rewrites(spark, tmp_path_factory,
+                                           monkeypatch):
+    """Six single-doc batches of ONE exact-dup family on the shuffled
+    fallback path: every batch whose new doc hashes below the family's
+    current min relabels the WHOLE family, so the by-cluster
+    projection accumulates stale rows for the dead cluster ids — the
+    exact state the fallback affected-lookup's no-stale-touched-rows
+    invariant covers. Final labels must match the broadcast path and
+    collapse to one cluster = min(doc_id)."""
+    import miekki.streaming as st
+
+    cfg = DedupConfig()
+    fam_text = " ".join(f"{zlib.crc32(f'fam{j}'.encode()):08x}"
+                        for j in range(60))
+    ts = pd.Timestamp("2024-01-01")
+
+    def batch(i):
+        # one family member + one distinct filler doc per batch
+        filler = " ".join(f"{zlib.crc32(f'fill{i}_{j}'.encode()):08x}"
+                          for j in range(60))
+        return spark.createDataFrame(pd.DataFrame(
+            [(f"https://fam.com/{i}", ts, fam_text, "en"),
+             (f"https://fill.com/{i}", ts, filler, "en")],
+            columns=["url", "warc_ts", "text", "lang"]))
+
+    def run(cat):
+        for i in range(6):
+            out = st.incremental_dedup_batch(spark, cat, batch(i),
+                                             cfg, f"b{i}")
+        return out.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    base = run(HadoopCatalog(spark, str(tmp_path_factory.mktemp("famb"))))
+    monkeypatch.setattr(st, "BROADCAST_IDS_MAX", 0)
+    fb_cat = HadoopCatalog(spark, str(tmp_path_factory.mktemp("famf")))
+    fb = run(fb_cat)
+    pd.testing.assert_frame_equal(base, fb)
+    # the family really did converge to one cluster = min doc_id
+    counts = fb.groupby("cluster_id").size()
+    assert (counts == 6).sum() == 1      # one 6-member family
+    fam_cluster = counts[counts == 6].index[0]
+    members = fb[fb.cluster_id == fam_cluster]
+    assert fam_cluster == members.doc_id.min()
+    # and the by-cluster projection kept pace with stream_labels
+    lbl = fb_cat.read("stream_labels").toPandas()
+    byc = fb_cat.read("stream_labels_by_cluster").toPandas()
+    pd.testing.assert_frame_equal(
+        lbl.sort_values(["doc_id", "cluster_id", "bseq"])
+        .reset_index(drop=True),
+        byc.sort_values(["doc_id", "cluster_id", "bseq"])
+        .reset_index(drop=True))
+
+
+def test_pre_upgrade_catalog_without_projection(spark, split_corpus,
+                                                tmp_path_factory,
+                                                monkeypatch):
+    """A catalog created before the by-cluster projection existed must
+    keep working on the fallback path (exchanged affected-lookup) and
+    be upgraded by the first compaction."""
+    import shutil
+
+    import miekki.streaming as st
+
+    cfg = DedupConfig()
+    part1, part2 = split_corpus
+    root = str(tmp_path_factory.mktemp("legacy"))
+    cat = HadoopCatalog(spark, root)
+    st.incremental_dedup_batch(spark, cat,
+                               spark.createDataFrame(part1), cfg, "a")
+    # simulate pre-upgrade state: drop the projection from disk
+    assert cat.exists("stream_labels_by_cluster")
+    shutil.rmtree(cat._dir("stream_labels_by_cluster"))
+    mf = cat._manifest("stream_labels_by_cluster")
+    if os.path.exists(mf):
+        os.remove(mf)
+    assert not cat.exists("stream_labels_by_cluster")
+
+    monkeypatch.setattr(st, "BROADCAST_IDS_MAX", 0)
+    out = (st.incremental_dedup_batch(
+        spark, cat, spark.createDataFrame(part2), cfg, "b")
+        .toPandas().sort_values("doc_id").reset_index(drop=True))
+    # legacy path must not resurrect the projection mid-stream …
+    assert not cat.exists("stream_labels_by_cluster")
+    # … and must produce the same labels as a fresh dual-table run
+    fresh = HadoopCatalog(spark, str(tmp_path_factory.mktemp("fresh")))
+    st.incremental_dedup_batch(spark, fresh,
+                               spark.createDataFrame(part1), cfg, "a")
+    ref = (st.incremental_dedup_batch(
+        spark, fresh, spark.createDataFrame(part2), cfg, "b")
+        .toPandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, ref)
+
+    # first compaction creates the projection (upgrade-at-compaction)
+    st.compact_stream_state(cat, "c")
+    assert cat.exists("stream_labels_by_cluster")
+    lbl = cat.read("stream_labels").toPandas()
+    byc = cat.read("stream_labels_by_cluster").toPandas()
+    pd.testing.assert_frame_equal(
+        lbl.sort_values("doc_id").reset_index(drop=True),
+        byc.sort_values("doc_id").reset_index(drop=True))
+
+
 def test_real_stream_two_batches(spark, split_corpus, tmp_path_factory):
     from miekki.streaming import run_incremental_stream
 
@@ -426,7 +527,9 @@ def test_warm_batch_job_count_pinned(spark, fixture_corpus,
         spark, cat, spark.createDataFrame(corpus_pdf[part == 1][cols]),
         cfg, run_id="b1")
     jobs = meter.take()
-    # measured 46 on this batch with the Observation-folded gates;
-    # the two count() jobs of the pre-fix code put it at 48. +1 slack
-    # for scheduler nondeterminism, still strictly below 48.
-    assert jobs <= 47, jobs
+    # measured 46 on this batch with the Observation-folded gates; the
+    # r5 by-cluster label projection adds its append jobs → measured
+    # 48. The two count() jobs of the pre-Observation code would put
+    # it at 50. +1 slack for scheduler nondeterminism, strictly below
+    # that.
+    assert jobs <= 49, jobs
