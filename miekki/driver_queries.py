@@ -1201,6 +1201,31 @@ def q_mix_sample(spark, sf_dir):
                       stratum_col="lang", default_rate=0.25, rank_col=rk)
 
 
+def q_soft_dedup(spark, sf_dir):
+    """X40: cluster-size-aware probabilistic retention (soft dedup,
+    alpha=0.5 — the bit-portable sqrt path): each member of a
+    25-consecutive-id cluster kept iff its portable hash rank <
+    floor(buckets/sqrt(n)), with the min-rank member ALWAYS kept.
+    Production feeds T5 cluster_labels with xxhash64 ranks."""
+    from miekki.tiers import MIX_BUCKETS, soft_dedup
+
+    labels = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(25)))
+        .alias("cluster_id"))
+    rk = F.expr(f"pmod(doc_id * 2654435761, {MIX_BUCKETS})")
+    return soft_dedup(labels, alpha=0.5, rank_col=rk)
+
+
+def q_lsh_plan(spark, sf_dir):
+    """X41: the (bands, rows) S-curve planner for the production
+    128-permutation signature at the verify threshold 0.5 — DuckDB
+    recomputes every fp/fn mass and the argmin choice."""
+    from miekki.stages.lsh import lsh_plan
+
+    return lsh_plan(spark, n_perm=128, threshold=0.5, s_steps=50)
+
+
 def _emb(spark, sf_dir):
     return _t(spark, sf_dir, "embeddings")
 
@@ -1532,6 +1557,8 @@ QUERIES: dict[str, Callable] = {
     "shard_assign": q_shard_assign,
     "dedup_tiers": q_dedup_tiers,
     "cluster_cap": q_cluster_cap,
+    "soft_dedup": q_soft_dedup,
+    "lsh_plan": q_lsh_plan,
     "mix_sample": q_mix_sample,
     "lm_score": q_lm_score,
     "quality_clf": q_quality_clf,
@@ -1827,8 +1854,10 @@ def _extras_oracle_sql() -> dict[str, str]:
     from miekki.packing import pack_pieces_duck_sql, seq_pack_duck_sql
     from miekki.sharding import shard_assign_duck_sql
     from miekki.textstats import lang_id_duck_sql, quality_duck_cols
+    from miekki.stages.lsh import lsh_plan_duck_sql
     from miekki.tiers import (MIX_BUCKETS, cluster_cap_duck_sql,
-                              mix_sample_duck_sql, tier_labels_duck_sql)
+                              mix_sample_duck_sql, soft_dedup_duck_sql,
+                              tier_labels_duck_sql)
     from miekki.webstats import (SPLIT_BUCKETS, domain_cap_duck_sql,
                                  domain_stats_duck_sql,
                                  filter_battery_duck_sql,
@@ -1872,6 +1901,13 @@ def _extras_oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, doc_id - ((doc_id % 7 + 7) % 7) AS cluster_id"
             " FROM documents)",
             "((doc_id * 2654435761) % 9973 + 9973) % 9973", k=3),
+        "soft_dedup": soft_dedup_duck_sql(
+            "(SELECT doc_id, doc_id - ((doc_id % 25 + 25) % 25)"
+            " AS cluster_id FROM documents)",
+            f"((doc_id * 2654435761) % {MIX_BUCKETS} + {MIX_BUCKETS})"
+            f" % {MIX_BUCKETS}", alpha=0.5),
+        "lsh_plan": lsh_plan_duck_sql(n_perm=128, threshold=0.5,
+                                      s_steps=50),
         "mix_sample": mix_sample_duck_sql(
             "documents",
             f"((doc_id * 2654435761) % {MIX_BUCKETS} + {MIX_BUCKETS})"
@@ -2197,21 +2233,47 @@ def _relational_counts_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_cc_edge_ops(spark, sf_dir):
+    """O14/O15/O16 folded (r5: frees two registry slots for
+    soft_dedup + lsh_plan under the driver's 50-key cap): edge
+    union, one large-star round, and one small-star round over the
+    portable generators, tagged long-format. Each edge set stays a
+    FULL value twin — DuckDB recomputes every (src, dst) pair of all
+    three; the tag keeps rows 1:1 with the unfolded outputs."""
+    def tag(name, df):
+        return df.select(F.lit(name).alias("stage"), "src", "dst")
+    return (tag("union", q_edge_union(spark, sf_dir))
+            .unionByName(tag("largestar", q_cc_largestar(spark, sf_dir)))
+            .unionByName(tag("smallstar", q_cc_smallstar(spark, sf_dir))))
+
+
+def _cc_edge_ops_oracle() -> str:
+    o = _ALL_ORACLE_SQL
+    return (f"SELECT 'union' AS stage, src, dst FROM ({o['edge_union']})"
+            f" UNION ALL SELECT 'largestar', src, dst"
+            f" FROM ({o['cc_largestar']})"
+            f" UNION ALL SELECT 'smallstar', src, dst"
+            f" FROM ({o['cc_smallstar']})")
+
+
 _FOLDED_AWAY = (set(_SIG_CONTRACTS) | set(_PIPELINE_CONTRACTS)
                 | set(_EMBED_MEDIA_SUITE)
                 | {"q_setops", "semi_anti", "id_collisions",
                    "embedding_norms", "windowed_events", "sessions",
-                   "profile", "profile_approx", "scan_corpus"})
+                   "profile", "profile_approx", "scan_corpus",
+                   "edge_union", "cc_largestar", "cc_smallstar"})
 
 # never-driver-recorded (r4 artifact stopped at key 50) and new-this-
 # round keys FIRST; previously-recorded full twins after
 _FRONT = [
     "seq_pack", "chunk_passages", "pack_pieces", "chunk_tokens",
     "quality_clf", "semdedup_text", "curate_funnel", "shard_assign",
+    "soft_dedup", "lsh_plan",
     "asof_join", "ann_brute",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _FRONT}
+QUERIES["cc_edge_ops"] = q_cc_edge_ops
 QUERIES["embed_media_suite"] = _contract_fold(_EMBED_MEDIA_SUITE)
 QUERIES["relational_counts"] = q_relational_counts
 QUERIES["sig_contracts"] = _contract_fold(_SIG_CONTRACTS)
@@ -2225,6 +2287,7 @@ ORACLE_SQL = {k: v for k, v in _ALL_ORACLE_SQL.items()
               if k in QUERIES and k != "profile"}
 ORACLE_SQL["embed_media_suite"] = _contract_fold_oracle(_EMBED_MEDIA_SUITE)
 ORACLE_SQL["relational_counts"] = _relational_counts_oracle()
+ORACLE_SQL["cc_edge_ops"] = _cc_edge_ops_oracle()
 ORACLE_SQL["sig_contracts"] = _contract_fold_oracle(_SIG_CONTRACTS)
 ORACLE_SQL["pipeline_contracts"] = _contract_fold_oracle(_PIPELINE_CONTRACTS)
 ORACLE_SQL["profile"] = (

@@ -115,3 +115,81 @@ def minhash_candidate_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFram
                              cfg.lsh_chain)
         edges = edges.unionByName(chains).dropDuplicates(["src", "dst"])
     return edges
+
+
+# =====================================================================
+# X41 — LSH parameter planner (bands x rows S-curve optimizer)
+# =====================================================================
+
+def lsh_plan(spark, n_perm: int = 128, threshold: float = 0.5,
+             s_steps: int = 50) -> DataFrame:
+    """X41 — choose (bands b, rows-per-band r): for every integer
+    split b*r = n_perm (the whole signature used, the constraint
+    DedupConfig enforces above), evaluate the band-collision S-curve
+    P(s) = 1 - (1 - s^r)^b  (MMDS ch.3 / Broder)
+    on a uniform Jaccard grid s = 1/s_steps .. (s_steps-1)/s_steps and
+    score the plan by
+      fp_mass = mean of P(s)   over s <  threshold  (pairs LSH
+                surfaces that verification must then reject), and
+      fn_mass = mean of 1-P(s) over s >= threshold  (true dups the
+                bucketing NEVER sees — unrecoverable, unlike fps).
+    The argmin of fp+fn (ties -> smaller b, i.e. cheaper banding) is
+    flagged `chosen`. Uniform weighting is the neutral prior; a real
+    corpus' similarity histogram can reweight offline.
+
+    This is metadata-scale planning (divisors(n_perm) x s_steps rows
+    ~ a few hundred), expressed as a DataFrame so it composes with
+    SQL and twins exactly; at 10^12 docs the plan is still decided
+    before the corpus is touched. Output:
+    (b, r, fp_mass, fn_mass, chosen), masses rounded to 6 dp."""
+    splits = [(b, n_perm // b) for b in range(1, n_perm + 1)
+              if n_perm % b == 0]
+    plans = spark.createDataFrame(splits, "b int, r int")
+    s = (F.col("id").cast("double") / F.lit(float(s_steps))).alias("s")
+    grid = spark.range(1, s_steps).select(s)
+    # q = P(no band collides) = (1-s^r)^b; fp term = 1-q, fn term = q.
+    # Both engines evaluate the SAME expression per term (never 1-p
+    # for the fn side: 1-(1-q) != q in floats when q underflows the
+    # 1-q rounding, e.g. q=1e-20 -> 1-q==1.0 -> 1-(1-q)==0).
+    q = F.pow(F.lit(1.0) - F.pow("s", "r"), "b").alias("q")
+    scored = (plans.crossJoin(grid).select("b", "r", "s", q)
+              .groupBy("b", "r")
+              .agg(F.avg(F.when(F.col("s") < threshold,
+                                F.lit(1.0) - F.col("q"))).alias("fp"),
+                   F.avg(F.when(F.col("s") >= threshold,
+                                F.col("q"))).alias("fn")))
+    w = Window.orderBy((F.col("fp") + F.col("fn")).asc(), F.col("b").asc())
+    return (scored
+            .select("b", "r",
+                    F.round("fp", 6).alias("fp_mass"),
+                    F.round("fn", 6).alias("fn_mass"),
+                    (F.row_number().over(w) == 1).alias("chosen")))
+
+
+def lsh_plan_duck_sql(n_perm: int = 128, threshold: float = 0.5,
+                      s_steps: int = 50) -> str:
+    """DuckDB twin: generate_series + the same S-curve arithmetic.
+    avg() over identical double sets, round(_, 6): the per-point
+    pow() values may drift ulps between libms, but a 1e-16-relative
+    drift never crosses a 6-dp rounding boundary unless the exact
+    sum sits within 1e-10 of one — verified empirically bit-equal
+    for the shipped (n_perm, threshold) grid (data-independent, so
+    one verification is conclusive)."""
+    return f"""
+WITH plans AS (
+  SELECT gs AS b, {n_perm} // gs AS r
+  FROM generate_series(1, {n_perm}) t(gs) WHERE {n_perm} % gs = 0),
+grid AS (
+  SELECT gs / {float(s_steps)} AS s
+  FROM generate_series(1, {s_steps - 1}) t(gs)),
+scored AS (
+  SELECT b, r,
+         avg(CASE WHEN s < {threshold}
+             THEN 1 - power(1 - power(s, r), b) END) AS fp,
+         avg(CASE WHEN s >= {threshold}
+             THEN power(1 - power(s, r), b) END) AS fn
+  FROM plans CROSS JOIN grid GROUP BY b, r)
+SELECT CAST(b AS INT) AS b, CAST(r AS INT) AS r,
+       round(fp, 6) AS fp_mass, round(fn, 6) AS fn_mass,
+       row_number() OVER (ORDER BY fp + fn, b) = 1 AS chosen
+FROM scored"""

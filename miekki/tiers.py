@@ -266,3 +266,87 @@ def mix_sample_duck_sql(src: str, rank_expr: str,
             f"SELECT doc_id, {stratum_expr} AS stratum, {rank_expr} AS rk,"
             f" CASE {stratum_expr} {whens} ELSE {default_below} END"
             f" AS keep_below FROM {src})")
+
+
+# =====================================================================
+# X40 — soft dedup (cluster-size-aware probabilistic retention)
+# =====================================================================
+
+def _soft_keep_below(n: Column, alpha: float, buckets: int) -> Column:
+    """Integer keep-threshold floor(buckets * n^(-alpha)). For the
+    default alpha = 0.5 this is computed as buckets / sqrt(n): sqrt
+    and division are IEEE-754 correctly-rounded on every engine, so
+    the threshold — and therefore every kept bit — is bit-portable
+    between Spark and the DuckDB twin. General alpha goes through
+    pow(), which libm does NOT guarantee correctly rounded; callers
+    needing a cross-engine contract at alpha != 0.5 should accept
+    <=1-ulp threshold drift (floor() re-aligns it except exactly at
+    an integer boundary)."""
+    nd = n.cast("double")
+    if alpha == 0.5:
+        return F.floor(F.lit(float(buckets)) / F.sqrt(nd))
+    return F.floor(F.lit(float(buckets)) * F.pow(nd, F.lit(-alpha)))
+
+
+def soft_dedup(labels: DataFrame, alpha: float = 0.5,
+               buckets: int = MIX_BUCKETS,
+               rank_col: Column | None = None) -> DataFrame:
+    """X40 — soft dedup: keep each member of a dup cluster of size n
+    with probability p(n) = n^(-alpha), so the cluster retains
+    ~n^(1-alpha) docs in expectation. alpha = 0 keeps everything,
+    alpha = 1 collapses to ~1 doc (canonical-like); 0 < alpha < 1 is
+    the smooth middle ground between X28's hard per-cluster ceiling
+    and keep-one — repeated text still contributes, just with
+    sub-linear weight (the data-constrained-scaling regime where
+    moderate repetition retains value but its marginal worth decays).
+
+    Deterministic and composition-safe like X26/X29: a doc is kept
+    iff its domain-tagged hash bucket < floor(buckets / n^alpha), so
+    membership never flips across re-runs, appends, or
+    repartitioning, and is independent of split/mix membership (each
+    hash-rank operator salts its own literal domain tag). The
+    cluster's min-rank member is ALWAYS kept: every cluster retains
+    >= 1 survivor no matter how aggressive alpha is, so soft dedup
+    never erases content entirely (the guarantee canonical selection
+    gives, preserved here).
+
+    Plan shape (the tier_labels argument): cluster sizes and min-rank
+    come from ONE groupBy(cluster_id) whose count/min partials
+    collapse a 10^8-member boilerplate family map-side before the
+    exchange; the join back is a plain equi-join — AQE broadcasts the
+    |clusters|-row stats side when small and skew-splits the hot
+    cluster when not. No windows over raw members, so the giant
+    cluster never serializes into one task. kept is computed, not
+    filtered (X24's never-discard-silently pattern).
+
+    Output: (doc_id, cluster_id, n_members, kept)."""
+    rk = (rank_col if rank_col is not None
+          else F.pmod(F.xxhash64(F.lit("soft"), F.col("doc_id")),
+                      F.lit(buckets)))
+    base = labels.select("doc_id", "cluster_id", rk.alias("rk"))
+    stats = base.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("rk").alias("min_rk"))
+    keep_below = _soft_keep_below(F.col("n_members"), alpha, buckets)
+    return (base.join(stats, "cluster_id")
+            .select("doc_id", "cluster_id", "n_members",
+                    ((F.col("rk") < keep_below)
+                     | (F.col("rk") == F.col("min_rk"))).alias("kept")))
+
+
+def soft_dedup_duck_sql(labels_src: str, rank_expr: str,
+                        alpha: float = 0.5,
+                        buckets: int = MIX_BUCKETS) -> str:
+    """DuckDB twin: window functions over cluster_id instead of the
+    groupBy+join decomposition (independent formulation). Only
+    alpha = 0.5 is offered — the sqrt path is the one with a
+    bit-portability proof (see _soft_keep_below)."""
+    if alpha != 0.5:
+        raise ValueError("twin pins alpha=0.5 (portable sqrt path)")
+    return (f"SELECT doc_id, cluster_id, n_members,"
+            f" (rk < CAST(floor({buckets} / sqrt(n_members)) AS BIGINT)"
+            f" OR rk = min_rk) AS kept FROM ("
+            f"SELECT doc_id, cluster_id, {rank_expr} AS rk,"
+            f" count(*) OVER (PARTITION BY cluster_id) AS n_members,"
+            f" min({rank_expr}) OVER (PARTITION BY cluster_id) AS min_rk"
+            f" FROM {labels_src})")

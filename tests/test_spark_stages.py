@@ -127,3 +127,57 @@ def test_nfc_sample_guard(spark):
     bad = spark.createDataFrame([(nfd,)], "text string")
     with pytest.raises(ValueError, match="not NFC"):
         assert_nfc_sample(bad)
+
+
+# ---------------------------------------------------------------------
+# X41 — LSH parameter planner
+# ---------------------------------------------------------------------
+
+def test_lsh_plan_matches_numpy_scurve(spark):
+    """Every (b, r) split of n_perm is present, masses match a numpy
+    recompute of the MMDS S-curve to 6 dp, and `chosen` is the
+    fp+fn argmin with the smaller-b tie-break."""
+    import numpy as np
+
+    from miekki.stages.lsh import lsh_plan
+
+    n_perm, thr, steps = 64, 0.5, 50
+    out = lsh_plan(spark, n_perm=n_perm, threshold=thr,
+                   s_steps=steps).toPandas().sort_values("b")
+    divisors = [b for b in range(1, n_perm + 1) if n_perm % b == 0]
+    assert list(out["b"]) == divisors
+    assert (out["b"] * out["r"] == n_perm).all()
+
+    s = np.arange(1, steps) / steps
+    best, best_key = None, None
+    for _, row in out.iterrows():
+        q = (1.0 - s ** row["r"]) ** row["b"]
+        fp = np.mean((1.0 - q)[s < thr])
+        fn = np.mean(q[s >= thr])
+        assert abs(round(fp, 6) - row["fp_mass"]) <= 1e-6, row["b"]
+        assert abs(round(fn, 6) - row["fn_mass"]) <= 1e-6, row["b"]
+        key = (fp + fn, row["b"])
+        if best_key is None or key < best_key:
+            best, best_key = row["b"], key
+    chosen = out[out["chosen"]]
+    assert len(chosen) == 1
+    assert chosen.iloc[0]["b"] == best
+
+
+def test_lsh_plan_tracks_threshold(spark):
+    """The chosen split follows the classic heuristic — the S-curve
+    midpoint (1/b)^(1/r) sits near the verify threshold — and moves
+    monotonically with it: raising the threshold never INCREASES the
+    band count (higher thresholds want longer bands / steeper
+    curves). Pins chosen b for three thresholds of the production
+    128-perm signature."""
+    from miekki.stages.lsh import lsh_plan
+
+    chosen = {}
+    for thr in (0.5, 0.7, 0.85):
+        out = lsh_plan(spark, n_perm=128, threshold=thr).toPandas()
+        row = out[out["chosen"]].iloc[0]
+        chosen[thr] = int(row["b"])
+        midpoint = (1.0 / row["b"]) ** (1.0 / row["r"])
+        assert abs(midpoint - thr) < 0.25, (thr, midpoint)
+    assert chosen == {0.5: 32, 0.7: 16, 0.85: 8}

@@ -200,3 +200,80 @@ def test_mix_sample_empty_rates_uses_default(spark):
     with pytest.raises(ValueError, match="duplicate strata"):
         mix_sample(docs, rates=(("en", 0.5), ("en", 0.9)),
                    stratum_col="lang", rank_col=rk)
+
+
+# ---------------------------------------------------------------------
+# X40 — soft dedup (cluster-size-aware probabilistic retention)
+# ---------------------------------------------------------------------
+
+def test_soft_dedup_retention_scales_inverse_sqrt(spark):
+    """alpha=0.5 keeps ~n^0.5 of an n-member cluster: with uniform
+    ranks the EXACT kept count is |{rk < floor(B/sqrt(n))}| (+ the
+    min-rank member if it wasn't already below) — recomputed here in
+    Python per cluster and compared member-for-member."""
+    import math
+
+    from miekki.tiers import MIX_BUCKETS, soft_dedup
+
+    rows = [(cid * 1000 + i, cid)
+            for cid, n in enumerate([1, 2, 10, 100, 400], start=1)
+            for i in range(n)]
+    labels = spark.createDataFrame(rows, ["doc_id", "cluster_id"])
+    out = soft_dedup(labels, alpha=0.5).toPandas()
+    assert len(out) == len(rows)
+    for cid, grp in out.groupby("cluster_id"):
+        assert (grp["n_members"] == len(grp)).all()
+    # replicate the rank expression exactly: xxhash64('soft', doc_id)
+    ranked = labels.select(
+        "doc_id", "cluster_id",
+        F.pmod(F.xxhash64(F.lit("soft"), F.col("doc_id")),
+               F.lit(MIX_BUCKETS)).alias("rk")).toPandas()
+    merged = out.merge(ranked, on=["doc_id", "cluster_id"])
+    for cid, grp in merged.groupby("cluster_id"):
+        thresh = math.floor(MIX_BUCKETS / math.sqrt(len(grp)))
+        min_rk = grp["rk"].min()
+        expect = (grp["rk"] < thresh) | (grp["rk"] == min_rk)
+        assert (grp["kept"] == expect).all(), cid
+
+
+def test_soft_dedup_always_keeps_one_and_alpha_extremes(spark):
+    """Every cluster retains >= 1 survivor even at alpha=1 (threshold
+    floor(B/n) can be tiny); alpha=0 keeps everything."""
+    from miekki.tiers import soft_dedup
+
+    rows = [(i, i // 50) for i in range(500)]
+    labels = spark.createDataFrame(rows, ["doc_id", "cluster_id"])
+    hard = soft_dedup(labels, alpha=1.0).toPandas()
+    kept_per = hard[hard["kept"]].groupby("cluster_id").size()
+    assert set(kept_per.index) == set(range(10))   # all 10 clusters
+    assert (kept_per >= 1).all()
+    soft0 = soft_dedup(labels, alpha=0.0).toPandas()
+    assert soft0["kept"].all()                     # alpha=0 keeps all
+
+
+def test_soft_dedup_deterministic_under_repartition(spark):
+    """Membership is a pure hash function of doc_id — identical under
+    a different partitioning (the composition-safety contract X26/X29
+    also pin)."""
+    from miekki.tiers import soft_dedup
+
+    rows = [(i, i // 30) for i in range(300)]
+    labels = spark.createDataFrame(rows, ["doc_id", "cluster_id"])
+    a = soft_dedup(labels).toPandas().sort_values("doc_id")
+    b = soft_dedup(labels.repartition(13)).toPandas() \
+        .sort_values("doc_id")
+    assert list(a["kept"]) == list(b["kept"])
+
+
+def test_soft_dedup_no_window_over_members(spark):
+    """Scale shape: cluster stats come from a groupBy (partial-agg
+    collapsible), never a window over raw members — a 10^8-member
+    cluster must not serialize into one task."""
+    from miekki.tiers import soft_dedup
+
+    labels = spark.createDataFrame([(1, 1), (2, 1)],
+                                   ["doc_id", "cluster_id"])
+    plan = soft_dedup(labels)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
