@@ -210,10 +210,19 @@ def cmd_curate(args):
     res = run(spark, cat, cfg, run_id=args.run_id,
               corpus_table="corpus_kept", emit_tiers=True)
 
-    # 3. cluster cap: ≤ k survivors per dup cluster
+    # 3. cluster-size retention: the hard per-cluster ceiling (X28,
+    # ≤ k survivors) by default, or X40 soft dedup (each member kept
+    # w.p. n^(-alpha), min-rank member always) when --soft-alpha is
+    # given — the smooth retention curve for data-constrained runs
     labels = cat.read("cluster_labels").select("doc_id", "cluster_id",
                                                "url")
-    capped = cluster_cap(labels, k=args.cluster_cap)
+    if args.soft_alpha is not None:
+        from miekki.tiers import soft_dedup
+        capped = (soft_dedup(labels.select("doc_id", "cluster_id"),
+                             alpha=args.soft_alpha)
+                  .where(F.col("kept")))
+    else:
+        capped = cluster_cap(labels, k=args.cluster_cap)
     survivors = labels.join(capped.select("doc_id"), "doc_id",
                             "left_semi")
 
@@ -342,6 +351,8 @@ def cmd_curate(args):
                    "after_dedup": res["n_docs"],
                    "after_cap": survivors.count(),
                    "curated": n_curated},
+        "retention": ("cap" if args.soft_alpha is None
+                      else f"soft:{args.soft_alpha}"),
         "by_split": {r["split"]: r["n"] for r in
                      cur.groupBy("split")
                      .agg(F.count(F.lit(1)).alias("n")).collect()},
@@ -392,6 +403,10 @@ def main(argv=None):
     pc.add_argument("--corpus", default="corpus")
     pc.add_argument("--langs", default="en")
     pc.add_argument("--cluster-cap", type=int, default=4)
+    pc.add_argument("--soft-alpha", type=float, default=None,
+                    help="use X40 soft dedup (keep each cluster "
+                    "member w.p. n^-alpha, min-rank always kept) "
+                    "instead of the hard --cluster-cap ceiling")
     pc.add_argument("--mix", default="en=1.0",
                     help="lang=rate pairs, e.g. en=0.5,fr=1.0")
     pc.add_argument("--default-rate", type=float, default=1.0)

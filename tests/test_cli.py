@@ -144,3 +144,41 @@ def test_cli_curate_funnel(spark, corpus_df, tmp_path_factory, capsys):
                 .join(norm, "doc_id").where("lang = 'en'").count())
     n_en_cur = int((cur["lang"] == "en").sum())
     assert n_en_cur < n_en_cap
+
+
+def test_cli_curate_soft_alpha(spark, corpus_df, tmp_path_factory,
+                               capsys):
+    """--soft-alpha swaps the hard cluster cap for X40 soft dedup:
+    the survivor set must be exactly soft_dedup's kept set over the
+    persisted cluster_labels, every cluster keeps >= 1 doc, and the
+    summary records the retention mode."""
+    from pyspark.sql import functions as F
+
+    from miekki.tiers import soft_dedup
+
+    root = str(tmp_path_factory.mktemp("cli_soft"))
+    cat = HadoopCatalog(spark, root)
+    cat.overwrite("corpus", corpus_df.limit(400), run_id="ingest")
+
+    main(["curate", "--catalog-root", root, "--run-id", "s1",
+          "--langs", "en,fr,es,zh,de", "--soft-alpha", "0.5",
+          "--mix", "en=1.0", "--default-rate", "1.0",
+          "--splits", "train=1.0"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["retention"] == "soft:0.5"
+    f = out["funnel"]
+    assert f["input"] == 400 and f["curated"] > 0
+
+    labels = cat.read("cluster_labels").select("doc_id", "cluster_id")
+    expect = (soft_dedup(labels, alpha=0.5).where(F.col("kept"))
+              .select("doc_id").toPandas())
+    cur = cat.read("curated").toPandas()
+    assert f["after_cap"] == len(expect)
+    assert set(cur["doc_id"]) <= set(expect["doc_id"])
+    # every dup cluster retains >= 1 survivor (the min-rank guarantee)
+    n_clusters = labels.select("cluster_id").distinct().count()
+    kept_clusters = (cat.read("cluster_labels")
+                     .join(spark.createDataFrame(expect), "doc_id",
+                           "left_semi")
+                     .select("cluster_id").distinct().count())
+    assert kept_clusters == n_clusters
