@@ -1226,6 +1226,21 @@ def q_lsh_plan(spark, sf_dir):
     return lsh_plan(spark, n_perm=128, threshold=0.5, s_steps=50)
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """X42: Bloom-filter decontamination (5-word grams, bench =
+    pmod(doc_id, 97) == 0, m = 2^12 bits, k = 7) in md5 mode —
+    DuckDB rebuilds the identical filter words and re-derives every
+    probe verdict, false positives included bit-for-bit. m is
+    calibrated so fps actually occur (at sf0.01: 14 flagged grams =
+    1 true hit, the same one X17's exact pass finds, + 13 fps) and
+    the twin proves the APPROXIMATE structure, not just the exact
+    hits."""
+    from miekki.bloom import bloom_decontam
+
+    return bloom_decontam(_norm_docs(spark, sf_dir), n=5,
+                          m_bits=1 << 12, k=7, hash_fn="md5")
+
+
 def _emb(spark, sf_dir):
     return _t(spark, sf_dir, "embeddings")
 
@@ -1559,6 +1574,7 @@ QUERIES: dict[str, Callable] = {
     "cluster_cap": q_cluster_cap,
     "soft_dedup": q_soft_dedup,
     "lsh_plan": q_lsh_plan,
+    "bloom_decontam": q_bloom_decontam,
     "mix_sample": q_mix_sample,
     "lm_score": q_lm_score,
     "quality_clf": q_quality_clf,
@@ -1847,6 +1863,7 @@ def _quality_clf_oracle() -> str:
 
 
 def _extras_oracle_sql() -> dict[str, str]:
+    from miekki.bloom import bloom_decontam_duck_sql
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
     from miekki.chunking import chunk_duck_sql, chunk_tokens_duck_sql
     from miekki.dsir import RANK_BUCKETS, dsir_duck_sql
@@ -1908,6 +1925,8 @@ def _extras_oracle_sql() -> dict[str, str]:
             f" % {MIX_BUCKETS}", alpha=0.5),
         "lsh_plan": lsh_plan_duck_sql(n_perm=128, threshold=0.5,
                                       s_steps=50),
+        "bloom_decontam": bloom_decontam_duck_sql(
+            _NORM_CTE, n=5, m_bits=1 << 12, k=7),
         "mix_sample": mix_sample_duck_sql(
             "documents",
             f"((doc_id * 2654435761) % {MIX_BUCKETS} + {MIX_BUCKETS})"
@@ -2234,22 +2253,28 @@ def _relational_counts_oracle() -> str:
 
 
 def q_cc_edge_ops(spark, sf_dir):
-    """O14/O15/O16 folded (r5: frees two registry slots for
-    soft_dedup + lsh_plan under the driver's 50-key cap): edge
-    union, one large-star round, and one small-star round over the
-    portable generators, tagged long-format. Each edge set stays a
-    FULL value twin — DuckDB recomputes every (src, dst) pair of all
-    three; the tag keeps rows 1:1 with the unfolded outputs."""
+    """O10/O14/O15/O16 folded (r5: frees registry slots for
+    soft_dedup + lsh_plan + bloom_decontam under the driver's 50-key
+    cap): the salted bucket→star-edge pass, edge union, one
+    large-star round, and one small-star round over the portable
+    generators, tagged long-format. Each edge set stays a FULL value
+    twin — DuckDB recomputes every (src, dst) pair of all four; the
+    tag keeps rows 1:1 with the unfolded outputs."""
     def tag(name, df):
         return df.select(F.lit(name).alias("stage"), "src", "dst")
-    return (tag("union", q_edge_union(spark, sf_dir))
+    return (tag("bucket", q_bucket_edges(spark, sf_dir)
+                .select("src", "dst"))
+            .unionByName(tag("union", q_edge_union(spark, sf_dir)))
             .unionByName(tag("largestar", q_cc_largestar(spark, sf_dir)))
             .unionByName(tag("smallstar", q_cc_smallstar(spark, sf_dir))))
 
 
 def _cc_edge_ops_oracle() -> str:
     o = _ALL_ORACLE_SQL
-    return (f"SELECT 'union' AS stage, src, dst FROM ({o['edge_union']})"
+    return (f"SELECT 'bucket' AS stage, src, dst"
+            f" FROM ({o['bucket_edges']})"
+            f" UNION ALL SELECT 'union', src, dst"
+            f" FROM ({o['edge_union']})"
             f" UNION ALL SELECT 'largestar', src, dst"
             f" FROM ({o['cc_largestar']})"
             f" UNION ALL SELECT 'smallstar', src, dst"
@@ -2261,14 +2286,15 @@ _FOLDED_AWAY = (set(_SIG_CONTRACTS) | set(_PIPELINE_CONTRACTS)
                 | {"q_setops", "semi_anti", "id_collisions",
                    "embedding_norms", "windowed_events", "sessions",
                    "profile", "profile_approx", "scan_corpus",
-                   "edge_union", "cc_largestar", "cc_smallstar"})
+                   "edge_union", "cc_largestar", "cc_smallstar",
+                   "bucket_edges"})
 
 # never-driver-recorded (r4 artifact stopped at key 50) and new-this-
 # round keys FIRST; previously-recorded full twins after
 _FRONT = [
     "seq_pack", "chunk_passages", "pack_pieces", "chunk_tokens",
     "quality_clf", "semdedup_text", "curate_funnel", "shard_assign",
-    "soft_dedup", "lsh_plan",
+    "soft_dedup", "lsh_plan", "bloom_decontam",
     "asof_join", "ann_brute",
 ]
 
