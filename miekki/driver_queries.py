@@ -607,6 +607,34 @@ def q_quality(spark, sf_dir):
     return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
+def q_text_quality(spark, sf_dir):
+    """lang_id + quality_score folded (r5: frees a registry slot for
+    hll_vocab under the driver's 50-key cap): ONE map-only projection
+    over _norm_docs carrying X3's predicted language next to X4/X5's
+    quality signals — both remain FULL per-row value twins."""
+    from miekki.textstats import predict_lang, quality_columns
+
+    df = _norm_docs(spark, sf_dir)
+    cols = quality_columns("norm")
+    return df.select("doc_id", predict_lang("norm").alias("pred_lang"),
+                     *[c.alias(n) for n, c in cols.items()])
+
+
+def q_hll_vocab(spark, sf_dir):
+    """X43: per-language vocabulary cardinality by pinned-spec
+    HyperLogLog (p = 12, md5 twin mode) — DuckDB rebuilds the
+    identical registers, the identical integer harmonic core, and
+    the identical 4-dp estimate (raw OR linear-counting branch), so
+    the APPROXIMATE structure is value-twinned bit-for-bit; the
+    exact n_tokens column evidences within_tol at this scale."""
+    from miekki.sketches import hll_vocab
+    from miekki.stages.normalize import norm_text_col
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("lang", norm_text_col("text").alias("norm")))
+    return hll_vocab(docs, hash_fn="md5")
+
+
 _W3GRAMS_SPARK = (
     "array_distinct(transform("
     " sequence(1, greatest(1, size(split(norm, ' ')) - 2)),"
@@ -1558,6 +1586,8 @@ QUERIES: dict[str, Callable] = {
     # training-data extras
     "lang_id": q_lang_id,
     "quality_score": q_quality,
+    "text_quality": q_text_quality,
+    "hll_vocab": q_hll_vocab,
     "ngram_jaccard": q_ngram_jaccard,
     "url_canon": q_url_canon,
     "decontam": q_decontam,
@@ -1864,6 +1894,7 @@ def _quality_clf_oracle() -> str:
 
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.bloom import bloom_decontam_duck_sql
+    from miekki.sketches import hll_vocab_duck_sql
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
     from miekki.chunking import chunk_duck_sql, chunk_tokens_duck_sql
     from miekki.dsir import RANK_BUCKETS, dsir_duck_sql
@@ -1999,6 +2030,11 @@ def _extras_oracle_sql() -> dict[str, str]:
             f"(SELECT doc_id, {_NORM_DUCK} AS norm,"
             f" {_PII_TEXT_DUCK} AS ptext FROM documents)",
             norm_expr="norm", pii_expr="ptext", allowed_langs=("en",)),
+        "text_quality": (
+            f"SELECT doc_id, {lang_id_duck_sql('norm')} AS pred_lang,"
+            f" {quality_duck_cols('norm')} FROM ({_NORM_CTE})"),
+        "hll_vocab": hll_vocab_duck_sql(
+            f"SELECT lang, {_NORM_DUCK} AS norm FROM documents"),
         "lang_id": (f"SELECT doc_id, {lang_id_duck_sql('norm')} AS pred_lang"
                     f" FROM ({_NORM_CTE})"),
         "quality_score": (f"SELECT doc_id, {quality_duck_cols('norm')}"
@@ -2287,15 +2323,15 @@ _FOLDED_AWAY = (set(_SIG_CONTRACTS) | set(_PIPELINE_CONTRACTS)
                    "embedding_norms", "windowed_events", "sessions",
                    "profile", "profile_approx", "scan_corpus",
                    "edge_union", "cc_largestar", "cc_smallstar",
-                   "bucket_edges"})
+                   "bucket_edges", "lang_id", "quality_score"})
 
 # never-driver-recorded (r4 artifact stopped at key 50) and new-this-
 # round keys FIRST; previously-recorded full twins after
 _FRONT = [
     "seq_pack", "chunk_passages", "pack_pieces", "chunk_tokens",
     "quality_clf", "semdedup_text", "curate_funnel", "shard_assign",
-    "soft_dedup", "lsh_plan", "bloom_decontam",
-    "asof_join", "ann_brute",
+    "soft_dedup", "lsh_plan", "bloom_decontam", "hll_vocab",
+    "text_quality", "asof_join", "ann_brute",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _FRONT}

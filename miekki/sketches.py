@@ -1,0 +1,238 @@
+"""X43 — HyperLogLog cardinality sketch: distinct counts at corpus
+scale with bounded, mergeable per-group state.
+
+Public basis: Flajolet et al.'07 (HyperLogLog, AofA); Heule et
+al.'13 (HLL++ corrections). Vocabulary size per language, distinct
+URLs per domain, distinct n-grams per shard — at 10^12 rows an exact
+count-distinct shuffles every VALUE; the sketch shuffles at most
+m = 2^p register rows per group (16 KB at p=12) and merges by max,
+so shard sketches union into the corpus sketch without re-reading
+data (register-wise max of two builds == the build of the union —
+tested).
+
+Two paths, same contract:
+
+- PRODUCTION: Spark's built-in DataSketches HLL
+  (`F.hll_sketch_agg` / `F.hll_union_agg`) — binary, compact,
+  store-and-merge in the metrics catalog. `hll_prod_estimate`
+  wraps it. The right default on a real cluster.
+- PINNED (this module's register frame): the sketch as a DATAFRAME
+  of (group…, reg_idx int, rho int) with an engine-portable
+  pinned spec, so DuckDB replays the ENTIRE approximate structure —
+  registers, scaled harmonic sum, estimator branch — bit-for-bit.
+  That cross-engine verifiability is what the binary DataSketches
+  format cannot give; it is also the resumable form (plain rows in
+  any catalog table, no format lock-in).
+
+Pinned spec (both hash modes mask to the same 60-bit domain so the
+scaled sum below never overflows a signed 64):
+
+  h   = xxhash64('hll', x) & (2^60-1)          (prod hashes)
+      | conv(substr(md5('hll|' || x),1,15),16,10)   (md5 twin mode)
+  m   = 2^p; reg_idx = h % m; w = h DIV m ∈ [0, 2^(60-p))
+  rho = 61-p            if w = 0   (all-zero suffix)
+      | 61-p - bitlen(w) otherwise  (leading zeros + 1; bitlen via
+                                     length(bin(w)) — exact integer
+                                     string op in BOTH engines, no
+                                     float log2 ulp hazard)
+  register r_j = max rho; absent register ⇔ r_j = 0.
+
+Estimator with an integer-exact harmonic core: every 2^-rho term is
+scaled by 2^R (R = 61-p, the max rho) so the sum
+  s_scaled = v_zero·2^R + Σ_present 2^(R-rho)
+is a plain BIGINT sum — exact, order-free, engine-identical; max
+possible value m·2^R = 2^61 < 2^63 by construction. The only float
+ops are one correctly-rounded division (raw estimate
+A / s_scaled, A = alpha_m·m²·2^R pre-folded into ONE literal both
+SQL dialects parse to the same double) and the Flajolet
+linear-counting branch m·ln(m/V) when E ≤ 2.5m and zero registers
+remain — rounded to 4 dp in both engines (the lsh_plan precedent
+for absorbing libm ulps).
+
+Shuffle shape: build = map-side (hash, idx, rho) projection → ONE
+groupBy(group…, reg_idx) whose max partials collapse map-side (a
+group's register frame is ≤ m rows no matter how many values hit
+it); estimate = ONE groupBy(group…) over ≤ m rows/group. Never a
+driver-side sketch object, no windows, no cartesians.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HLL_P_DEFAULT = 12                  # m = 4096 registers, ~1.6% rel err
+_MASK60 = (1 << 60) - 1
+
+
+def hll_rel_err(p: int) -> float:
+    """Theoretical relative standard error 1.04/sqrt(m)."""
+    return 1.04 / math.sqrt(1 << p)
+
+
+def _hll_hash(col: Column, hash_fn: str) -> Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit("hll"), col).bitwiseAND(F.lit(_MASK60))
+    # md5 mode — the portable path the DuckDB twin replays hex-identically
+    return F.conv(F.substring(F.md5(
+        F.concat_ws("|", F.lit("hll"), col).cast("binary")),
+        1, 15), 16, 10).cast("long")
+
+
+def hll_registers(df: DataFrame, col: str,
+                  group_cols: Sequence[str] = (),
+                  p: int = HLL_P_DEFAULT,
+                  hash_fn: str = "xxhash64") -> DataFrame:
+    """The sketch: (group…, reg_idx int, rho int), ≤ 2^p rows per
+    group. Registers no value touched are absent (rho treated as 0
+    by the estimator). Mergeable: union two register frames and
+    groupBy(group…, reg_idx).max(rho) — or just concatenate the
+    inputs and rebuild; both yield the identical frame."""
+    m = 1 << p
+    hashed = df.select(*group_cols, _hll_hash(F.col(col), hash_fn)
+                       .alias("__h"))
+    w = F.expr(f"__h DIV {m}")
+    rho = (F.when(w == F.lit(0), F.lit(61 - p))
+           .otherwise(F.lit(61 - p) - F.length(F.bin(w))))
+    return (hashed
+            .select(*group_cols,
+                    F.expr(f"CAST(__h % {m} AS INT)").alias("reg_idx"),
+                    rho.cast("int").alias("rho"))
+            .groupBy(*group_cols, "reg_idx")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Register-wise max of sketches built with the same (p,
+    hash_fn): the sketch of the union of their inputs."""
+    out = register_frames[0]
+    for other in register_frames[1:]:
+        out = out.unionByName(other)
+    keys = [c for c in out.columns if c != "rho"]
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def _est_expr_sql(p: int) -> str:
+    """The estimator CASE over (v_zero, s_scaled) — ONE text, parsed
+    by both engines, so literal→double conversion and evaluation
+    order are pinned identical."""
+    m = 1 << p
+    big_r = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # alpha·m²·2^R folded to one literal: the raw estimate is then a
+    # single correctly-rounded division — bit-identical cross-engine
+    a_lit = repr(float(alpha * (m * m)) * float(1 << big_r))
+    raw = f"{a_lit} / CAST(s_scaled AS DOUBLE)"
+    lc = f"{m} * ln({m} / CAST(v_zero AS DOUBLE))"
+    return (f"CASE WHEN {raw} <= {repr(2.5 * m)} AND v_zero > 0"
+            f" THEN round({lc}, 4) ELSE round({raw}, 4) END")
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: Sequence[str] = (),
+                 p: int = HLL_P_DEFAULT) -> DataFrame:
+    """(group…, n_present, v_zero, s_scaled, est_distinct). The
+    integer triple IS the sketch summary (exact, portable); the
+    double estimate is derived from it by the pinned expression."""
+    m = 1 << p
+    big_r = 61 - p
+    g = (registers.groupBy(*group_cols)
+         .agg(F.count(F.lit(1)).alias("n_present"),
+              F.sum(F.expr(
+                  f"shiftleft(CAST(1 AS BIGINT), {big_r} - rho)"))
+              .alias("__s_present")))
+    return (g.select(*group_cols,
+                     F.col("n_present"),
+                     (F.lit(m) - F.col("n_present")).cast("long")
+                     .alias("v_zero"),
+                     (F.col("__s_present")
+                      + (F.lit(m) - F.col("n_present"))
+                      * F.lit(1 << big_r)).cast("long")
+                     .alias("s_scaled"))
+            .withColumn("est_distinct", F.expr(_est_expr_sql(p))))
+
+
+def hll_prod_estimate(df: DataFrame, col: str,
+                      group_cols: Sequence[str] = (),
+                      lg_k: int = HLL_P_DEFAULT) -> DataFrame:
+    """Production path: Apache DataSketches HLL via the built-in
+    aggregate (binary sketch on the executors, never the driver).
+    Store `sketch`, merge later builds with F.hll_union_agg, read
+    with F.hll_sketch_estimate."""
+    return (df.groupBy(*group_cols)
+            .agg(F.hll_sketch_agg(col, F.lit(lg_k)).alias("sketch"))
+            .select(*group_cols, "sketch",
+                    F.hll_sketch_estimate("sketch").alias("est_distinct")))
+
+
+# =====================================================================
+# hll_vocab — per-language vocabulary cardinality over documents
+# =====================================================================
+
+def hll_vocab(docs: DataFrame, norm_col: str = "norm",
+              lang_col: str = "lang", p: int = HLL_P_DEFAULT,
+              hash_fn: str = "xxhash64",
+              tol_sigmas: float = 5.0) -> DataFrame:
+    """Per-language distinct-token estimate next to the exact count
+    (X21's token convention: split norm on ' ', drop empties).
+    within_tol pins the accuracy contract at tol_sigmas standard
+    errors. The exact column exists to EVIDENCE the estimator at
+    test scale — at 10^12 rows you ship only the sketch columns
+    (that being the point)."""
+    toks = (docs.select(lang_col,
+                        F.explode(F.split(F.col(norm_col), " "))
+                        .alias("token"))
+            .where(F.col("token") != ""))
+    est = hll_estimate(hll_registers(toks, "token", (lang_col,), p,
+                                     hash_fn), (lang_col,), p)
+    exact = toks.groupBy(lang_col).agg(
+        F.count_distinct("token").alias("n_tokens"))
+    tol = tol_sigmas * hll_rel_err(p)
+    return (exact.join(est, lang_col)
+            .select(lang_col, "n_tokens", "n_present", "v_zero",
+                    "s_scaled", "est_distinct")
+            .withColumn("within_tol", F.expr(
+                f"abs(est_distinct / n_tokens - 1.0) <= {repr(tol)}")))
+
+
+def hll_vocab_duck_sql(norm_lang_cte: str, p: int = HLL_P_DEFAULT,
+                       tol_sigmas: float = 5.0) -> str:
+    """DuckDB twin of hll_vocab(hash_fn='md5'): identical hashes,
+    identical registers, identical integer harmonic core, identical
+    estimator text — a full value twin of the APPROXIMATE structure
+    (the estimate is checked bit-for-bit, not merely 'close')."""
+    m = 1 << p
+    big_r = 61 - p
+    tol = tol_sigmas * hll_rel_err(p)
+    hh = f"CAST(('0x' || substr(md5('hll|' || token), 1, 15)) AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(str_split(norm, ' ')) AS token
+  FROM ({norm_lang_cte})),
+t AS (SELECT lang, token FROM toks WHERE token <> ''),
+h AS (SELECT lang, token, {hh} AS hh FROM t),
+r AS (
+  SELECT lang, CAST(hh % {m} AS INT) AS reg_idx,
+         CASE WHEN hh // {m} = 0 THEN {big_r}
+              ELSE {big_r} - length(bin(hh // {m})) END AS rho
+  FROM h),
+regs AS (SELECT lang, reg_idx, max(rho) AS rho FROM r GROUP BY 1, 2),
+g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_present,
+         CAST(sum(1::BIGINT << ({big_r} - rho)) AS BIGINT) AS s_present
+  FROM regs GROUP BY 1),
+e AS (
+  SELECT lang, n_present,
+         CAST({m} - n_present AS BIGINT) AS v_zero,
+         CAST(s_present + ({m} - n_present) * (1::BIGINT << {big_r})
+              AS BIGINT) AS s_scaled
+  FROM g),
+est AS (SELECT *, {_est_expr_sql(p)} AS est_distinct FROM e),
+exact AS (
+  SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS n_tokens
+  FROM t GROUP BY 1)
+SELECT exact.lang, n_tokens, n_present, v_zero, s_scaled, est_distinct,
+       abs(est_distinct / n_tokens - 1.0) <= {repr(tol)} AS within_tol
+FROM exact JOIN est USING (lang)"""

@@ -1,0 +1,146 @@
+"""X43 HyperLogLog sketch (miekki/sketches.py) unit pins.
+
+The driver cross-check (`hll_vocab` key) value-twins registers,
+integer harmonic core, and the estimate itself against DuckDB at
+sf0.01; these tests pin the structure's guarantees on crafted sets:
+accuracy on planted cardinalities across BOTH estimator branches
+(linear counting and the raw harmonic path), the merge algebra
+(register max == sketch of the union), agreement with Spark's
+production DataSketches path, and the shuffle shape (two grouped
+aggregations with map-side partials, no window, no Python eval).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from miekki.sketches import (HLL_P_DEFAULT, hll_estimate, hll_merge,
+                             hll_prod_estimate, hll_registers,
+                             hll_rel_err, hll_vocab)
+
+
+def _vals(spark, n, tag, parts=8):
+    return (spark.range(n, numPartitions=parts)
+            .select(F.concat_ws("-", F.lit(tag), F.col("id"))
+                    .alias("v")))
+
+
+def _est(spark, n, p=HLL_P_DEFAULT, hash_fn="xxhash64"):
+    regs = hll_registers(_vals(spark, n, f"card{n}"), "v", (), p, hash_fn)
+    return hll_estimate(regs, (), p).collect()[0]
+
+
+@pytest.mark.parametrize("n", [1, 50, 800])
+def test_linear_counting_branch_accuracy(spark, n):
+    """Small cardinalities (n ≪ m = 4096) take the linear-counting
+    branch, which is near-exact there."""
+    row = _est(spark, n)
+    assert row["v_zero"] > 0
+    assert abs(row["est_distinct"] / n - 1.0) <= 0.05
+
+
+@pytest.mark.parametrize("n", [30_000, 120_000])
+def test_raw_branch_accuracy(spark, n):
+    """Large cardinalities (n ≫ 2.5m) take the raw harmonic branch;
+    the estimate must land within 5 standard errors (5·1.04/√m ≈
+    8.1% at p=12 — a deterministic pin, the hash is fixed)."""
+    row = _est(spark, n)
+    raw = (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 \
+        * (1 << 49) / row["s_scaled"]
+    assert raw > 2.5 * 4096          # really the raw branch
+    assert abs(row["est_distinct"] / n - 1.0) <= 5 * hll_rel_err(12)
+
+
+def test_md5_mode_matches_xxhash_accuracy(spark):
+    """The twin hash mode is a different hash, same structure — it
+    must satisfy the same accuracy contract."""
+    row = _est(spark, 20_000, hash_fn="md5")
+    assert abs(row["est_distinct"] / 20_000 - 1.0) <= 5 * hll_rel_err(12)
+
+
+def test_merge_is_sketch_of_union(spark):
+    """Register-wise max of shard sketches == the sketch built over
+    the concatenated input — frame-exact, and overlap between shards
+    must not inflate the merged estimate."""
+    a = _vals(spark, 6000, "m")                      # m-0 … m-5999
+    b = (spark.range(3000, 9000, numPartitions=8)    # m-3000 … m-8999
+         .select(F.concat_ws("-", F.lit("m"), F.col("id")).alias("v")))
+    merged = hll_merge(hll_registers(a, "v"), hll_registers(b, "v"))
+    direct = hll_registers(a.unionByName(b), "v")
+    assert merged.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(merged).isEmpty()
+    est = hll_estimate(merged).collect()[0]["est_distinct"]
+    assert abs(est / 9000 - 1.0) <= 5 * hll_rel_err(12)
+
+
+def test_grouped_registers_bounded_and_grouped_estimates(spark):
+    """Per-group sketches: each group's register frame is ≤ m rows
+    regardless of input size, and each estimate tracks its own
+    group's cardinality."""
+    df = (spark.range(40_000, numPartitions=8)
+          .select((F.col("id") % 2).cast("string").alias("g"),
+                  F.concat_ws("-", F.col("id") % 2,
+                              F.when(F.col("id") % 2 == 0,
+                                     F.col("id"))       # 20k distinct
+                              .otherwise(F.col("id") % 100))  # 50 odd
+                  .alias("v")))
+    regs = hll_registers(df, "v", ("g",))
+    sizes = {r["g"]: r["n"] for r in
+             regs.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 4096 for n in sizes.values())
+    ests = {r["g"]: r["est_distinct"]
+            for r in hll_estimate(regs, ("g",)).collect()}
+    assert abs(ests["0"] / 20_000 - 1.0) <= 5 * hll_rel_err(12)
+    assert abs(ests["1"] / 50 - 1.0) <= 0.05
+
+
+def test_prod_datasketches_path_agrees(spark):
+    """The production path (built-in DataSketches HLL) and the
+    pinned register path estimate the same planted cardinality
+    within tolerance of each other and of truth."""
+    df = _vals(spark, 15_000, "prod")
+    prod = hll_prod_estimate(df, "v", lg_k=12).collect()[0]["est_distinct"]
+    pinned = _est(spark, 15_000)["est_distinct"]
+    assert abs(prod / 15_000 - 1.0) <= 5 * hll_rel_err(12)
+    assert abs(prod / pinned - 1.0) <= 2 * 5 * hll_rel_err(12)
+
+
+def test_vocab_contract_on_fixture(spark, corpus_df):
+    """hll_vocab over the fixture corpus: one row per lang, exact
+    n_tokens > 0, every within_tol true, estimator consistent with
+    the integer core (n_present + v_zero = m)."""
+    from miekki.stages.normalize import norm_text_col
+
+    docs = corpus_df.select("lang", norm_text_col("text").alias("norm"))
+    out = hll_vocab(docs).toPandas()
+    assert len(out) == out["lang"].nunique() > 0
+    assert (out["n_tokens"] > 0).all()
+    assert (out["n_present"] + out["v_zero"] == 4096).all()
+    assert out["within_tol"].all()
+
+
+def test_plan_two_grouped_aggs_no_window_no_python(spark):
+    """Build = ONE Exchange on (group, reg_idx); estimate adds ONE
+    more on (group); partial aggregates collapse map-side; never a
+    window, never Python eval."""
+    df = _vals(spark, 1000, "plan").select(
+        F.lit("g").alias("g"), F.col("v"))
+    est = hll_estimate(hll_registers(df, "v", ("g",)), ("g",))
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("HashAggregate") >= 4, plan   # partial+final ×2
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rho_bounds(spark):
+    """Registers only ever hold rho in [1, 61-p]: bitlen ≤ 60-p for
+    w > 0 and the w = 0 arm caps at 61-p."""
+    regs = hll_registers(_vals(spark, 50_000, "rho"), "v").toPandas()
+    assert regs["rho"].between(1, 49).all()
+    assert regs["reg_idx"].between(0, 4095).all()
+
+
+def test_rel_err_helper():
+    assert math.isclose(hll_rel_err(12), 1.04 / 64.0)
