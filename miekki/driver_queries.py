@@ -778,6 +778,18 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_norm_docs(spark, sf_dir), k=100)
 
 
+def q_cms_vocab(spark, sf_dir):
+    """X44: X21's exact vocabulary top-100 next to the Count-Min
+    Sketch estimate for each token (p=md5 twin mode, d=4, w=4096) —
+    DuckDB rebuilds the identical cells and min-estimates bit-for-bit
+    (collision mass included), and no_underest pins the sketch's
+    one-sided guarantee per row. Folds vocab_topk: the exact (token,
+    n) top-k IS this query's left column pair."""
+    from miekki.sketches import cms_vocab
+
+    return cms_vocab(_norm_docs(spark, sf_dir), k=100, hash_fn="md5")
+
+
 def q_repetition(spark, sf_dir):
     """X22: Gopher-style duplicate-n-gram fractions (n = 2, 3),
     map-only per-row array ops; full per-row DuckDB value twin."""
@@ -1594,6 +1606,7 @@ QUERIES: dict[str, Callable] = {
     "pii_stats": q_pii,
     "domain_stats": q_domain_stats,
     "vocab_topk": q_vocab_topk,
+    "cms_vocab": q_cms_vocab,
     "repetition": q_repetition,
     "line_dedup": q_line_dedup,
     "filter_battery": q_filter_battery,
@@ -1894,7 +1907,7 @@ def _quality_clf_oracle() -> str:
 
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.bloom import bloom_decontam_duck_sql
-    from miekki.sketches import hll_vocab_duck_sql
+    from miekki.sketches import cms_vocab_duck_sql, hll_vocab_duck_sql
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
     from miekki.chunking import chunk_duck_sql, chunk_tokens_duck_sql
     from miekki.dsir import RANK_BUCKETS, dsir_duck_sql
@@ -1976,6 +1989,7 @@ def _extras_oracle_sql() -> dict[str, str]:
             "url", chars_col="n_chars",
             blocklist=("site3.example.com",)),
         "vocab_topk": vocab_topk_duck_sql(_NORM_CTE, k=100),
+        "cms_vocab": cms_vocab_duck_sql(_NORM_CTE, k=100),
         "lm_score": lm_score_duck_sql(_NORM_CTE),
         "quality_clf": _quality_clf_oracle(),
         "semdedup_text": (
@@ -2323,7 +2337,8 @@ _FOLDED_AWAY = (set(_SIG_CONTRACTS) | set(_PIPELINE_CONTRACTS)
                    "embedding_norms", "windowed_events", "sessions",
                    "profile", "profile_approx", "scan_corpus",
                    "edge_union", "cc_largestar", "cc_smallstar",
-                   "bucket_edges", "lang_id", "quality_score"})
+                   "bucket_edges", "lang_id", "quality_score",
+                   "vocab_topk"})
 
 # never-driver-recorded (r4 artifact stopped at key 50) and new-this-
 # round keys FIRST; previously-recorded full twins after
@@ -2331,7 +2346,7 @@ _FRONT = [
     "seq_pack", "chunk_passages", "pack_pieces", "chunk_tokens",
     "quality_clf", "semdedup_text", "curate_funnel", "shard_assign",
     "soft_dedup", "lsh_plan", "bloom_decontam", "hll_vocab",
-    "text_quality", "asof_join", "ann_brute",
+    "cms_vocab", "text_quality", "asof_join", "ann_brute",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _FRONT}

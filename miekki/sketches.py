@@ -72,13 +72,20 @@ def hll_rel_err(p: int) -> float:
     return 1.04 / math.sqrt(1 << p)
 
 
-def _hll_hash(col: Column, hash_fn: str) -> Column:
+def _sketch_hash(col: Column, hash_fn: str, tag: str) -> Column:
+    """Domain-tagged 60-bit hash shared by the sketch family (HLL
+    registers, CMS rows): nonnegative in both modes, so masks and
+    div/mod are engine-portable."""
     if hash_fn == "xxhash64":
-        return F.xxhash64(F.lit("hll"), col).bitwiseAND(F.lit(_MASK60))
+        return F.xxhash64(F.lit(tag), col).bitwiseAND(F.lit(_MASK60))
     # md5 mode — the portable path the DuckDB twin replays hex-identically
     return F.conv(F.substring(F.md5(
-        F.concat_ws("|", F.lit("hll"), col).cast("binary")),
+        F.concat_ws("|", F.lit(tag), col).cast("binary")),
         1, 15), 16, 10).cast("long")
+
+
+def _hll_hash(col: Column, hash_fn: str) -> Column:
+    return _sketch_hash(col, hash_fn, "hll")
 
 
 def hll_registers(df: DataFrame, col: str,
@@ -195,6 +202,159 @@ def hll_vocab(docs: DataFrame, norm_col: str = "norm",
                     "s_scaled", "est_distinct")
             .withColumn("within_tol", F.expr(
                 f"abs(est_distinct / n_tokens - 1.0) <= {repr(tol)}")))
+
+
+# =====================================================================
+# X44 — Count-Min Sketch: frequency estimates / heavy hitters with
+# bounded, mergeable state (Cormode & Muthukrishnan '05)
+# =====================================================================
+#
+# The third sketch next to X42 (Bloom: membership) and X43 (HLL:
+# cardinality): per-item FREQUENCY. An exact token count at 10^12
+# rows shuffles the whole vocabulary; the CMS shuffles at most
+# d·w counter cells per group (64 KB at d=4, w=4096) and merges by
+# cell-wise SUM, so shard sketches add into the corpus sketch.
+# Estimates NEVER underestimate (each cell only ever gains collisions)
+# and overestimate by ≤ e·N/w with probability ≥ 1-e^-d — both ends
+# of that contract are pinned by tests and by the driver twin's
+# no_underest column.
+#
+# Pinned spec: w = 2^wp cells per row, d independent rows;
+#   h_r(x) = hash('cms', r, x) masked to 60 bits (same domain rule as
+#   the HLL hash); col_idx = h_r & (w-1). Counters are exact BIGINT
+#   sums — the whole structure is integer, so the DuckDB twin replays
+#   cells AND estimates bit-for-bit.
+#
+# Shuffle shape: build = map-only d-way struct explode → ONE
+# groupBy(group…, row_idx, col_idx) whose sum partials collapse
+# map-side (a group's frame is ≤ d·w cells no matter how many tokens
+# hit it); probe = ONE equi-join on (row_idx, col_idx) — AQE
+# broadcasts default-sized sketches (d·w ≤ 16 Ki rows) — + ONE
+# groupBy(item) min over exactly d rows. Never a window, never a
+# driver-side sketch object (contrast df.stat.countMinSketch, which
+# aggregates on the driver).
+
+CMS_D_DEFAULT = 4                   # P(err bound violated) <= e^-4 ≈ 1.8%
+CMS_WP_DEFAULT = 12                 # w = 4096 cells/row: err <= e·N/4096
+
+
+def cms_err_bound(n_total: int, wp: int = CMS_WP_DEFAULT) -> float:
+    """Classic CMS additive-error bound e·N/w (holds per query with
+    probability >= 1 - e^-d)."""
+    return math.e * n_total / float(1 << wp)
+
+
+def _cms_cells(df: DataFrame, col: str, group_cols: Sequence[str],
+               d: int, wp: int, hash_fn: str) -> DataFrame:
+    """Map-only (group…, row_idx, col_idx) projection: d cells per
+    input row via ONE struct-array explode (codegen'd, no Python)."""
+    w_mask = (1 << wp) - 1
+    cells = [F.struct(F.lit(r).alias("row_idx"),
+                      _sketch_hash(F.col(col), hash_fn, f"cms{r}")
+                      .bitwiseAND(F.lit(w_mask)).cast("int")
+                      .alias("col_idx"))
+             for r in range(d)]
+    return (df.select(*group_cols, F.explode(F.array(*cells)).alias("c"))
+            .select(*group_cols, "c.row_idx", "c.col_idx"))
+
+
+def cms_build(df: DataFrame, col: str,
+              group_cols: Sequence[str] = (),
+              d: int = CMS_D_DEFAULT, wp: int = CMS_WP_DEFAULT,
+              hash_fn: str = "xxhash64") -> DataFrame:
+    """The sketch: (group…, row_idx int, col_idx int, cnt long),
+    ≤ d·2^wp rows per group. Cells no value hashed into are absent
+    (cnt treated as 0 by the probe). Mergeable: union two frames and
+    groupBy(keys).sum(cnt) — or concatenate inputs and rebuild; both
+    yield the identical frame (cms_merge; tested)."""
+    return (_cms_cells(df, col, group_cols, d, wp, hash_fn)
+            .groupBy(*group_cols, "row_idx", "col_idx")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise SUM of sketches built with the same (d, wp,
+    hash_fn): the sketch of the concatenation of their inputs."""
+    out = sketches[0]
+    for other in sketches[1:]:
+        out = out.unionByName(other)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_probe(sketch: DataFrame, items: DataFrame, col: str,
+              group_cols: Sequence[str] = (),
+              d: int = CMS_D_DEFAULT, wp: int = CMS_WP_DEFAULT,
+              hash_fn: str = "xxhash64") -> DataFrame:
+    """Point queries: items + `cms_est` = min over the d counters the
+    item hashes to (absent cell = 0). items must be distinct on
+    (group…, col). ONE equi-join (broadcast at default sizes) + ONE
+    min over exactly d rows per item."""
+    keys = [*group_cols, "row_idx", "col_idx"]
+    cells = _cms_cells(items, col, (*group_cols, col), d, wp, hash_fn)
+    return (cells.join(sketch, keys, "left")
+            .groupBy(*group_cols, col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_est")))
+
+
+def cms_vocab(docs: DataFrame, norm_col: str = "norm", k: int = 100,
+              d: int = CMS_D_DEFAULT, wp: int = CMS_WP_DEFAULT,
+              hash_fn: str = "xxhash64") -> DataFrame:
+    """X21's exact vocabulary top-k next to the CMS estimate for each
+    of those tokens: (token, n, cms_est, no_underest). no_underest
+    pins the sketch's one-sided guarantee (est ≥ truth, always); the
+    gap cms_est - n is the collision mass the err bound governs. At
+    10^12 rows you keep only the sketch and probe candidates — the
+    exact column exists to EVIDENCE the estimator at test scale."""
+    from miekki.webstats import vocab_topk
+
+    toks = (docs.select(F.explode(F.split(F.col(norm_col), " "))
+                        .alias("token"))
+            .where(F.col("token") != ""))
+    exact = vocab_topk(docs, k=k, norm_col=norm_col)
+    sketch = cms_build(toks, "token", (), d, wp, hash_fn)
+    probed = cms_probe(sketch, exact.select("token"), "token",
+                       (), d, wp, hash_fn)
+    return (exact.join(probed, "token")
+            .select("token", "n", "cms_est",
+                    (F.col("cms_est") >= F.col("n")).alias("no_underest")))
+
+
+def cms_vocab_duck_sql(norm_cte: str, k: int = 100,
+                       d: int = CMS_D_DEFAULT,
+                       wp: int = CMS_WP_DEFAULT) -> str:
+    """DuckDB twin of cms_vocab(hash_fn='md5'): identical hashes,
+    identical cells, identical min-estimates — the APPROXIMATE
+    structure value-twinned bit-for-bit (collisions included)."""
+    w_mask = (1 << wp) - 1
+    hh = ("CAST(('0x' || substr(md5('cms' || r || '|' || token), 1, 15))"
+          " AS BIGINT)")
+    return f"""
+WITH toks AS (
+  SELECT unnest(str_split(norm, ' ')) AS token FROM ({norm_cte})),
+t AS (SELECT token FROM toks WHERE token <> ''),
+cells AS (
+  SELECT CAST(r AS INT) AS row_idx,
+         CAST({hh} & {w_mask} AS INT) AS col_idx
+  FROM t CROSS JOIN (SELECT unnest(range({d})) AS r)),
+sketch AS (
+  SELECT row_idx, col_idx, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM t GROUP BY token ORDER BY n DESC, token LIMIT {k}),
+probe AS (
+  SELECT token, CAST(r AS INT) AS row_idx,
+         CAST({hh} & {w_mask} AS INT) AS col_idx
+  FROM exact CROSS JOIN (SELECT unnest(range({d})) AS r)),
+est AS (
+  SELECT probe.token,
+         min(coalesce(sketch.cnt, 0)) AS cms_est
+  FROM probe LEFT JOIN sketch USING (row_idx, col_idx)
+  GROUP BY probe.token)
+SELECT exact.token, n, cms_est, cms_est >= n AS no_underest
+FROM exact JOIN est USING (token)"""
 
 
 def hll_vocab_duck_sql(norm_lang_cte: str, p: int = HLL_P_DEFAULT,

@@ -144,3 +144,105 @@ def test_rho_bounds(spark):
 
 def test_rel_err_helper():
     assert math.isclose(hll_rel_err(12), 1.04 / 64.0)
+
+
+# =====================================================================
+# X44 — Count-Min Sketch
+# =====================================================================
+
+from miekki.sketches import (CMS_D_DEFAULT, CMS_WP_DEFAULT,  # noqa: E402
+                             cms_build, cms_err_bound, cms_merge,
+                             cms_probe, cms_vocab)
+
+
+def _zipf_tokens(spark, parts=8):
+    """40_960 rows: token t-j appears ~4096/2^j times for j in 0..11
+    plus a uniform tail — planted heavy hitters with known counts."""
+    return (spark.range(40_960, numPartitions=parts)
+            .select(F.concat_ws(
+                "-", F.lit("t"),
+                F.expr("CAST(floor(log2(1 + id % 8192)) AS INT)"))
+                .alias("v")))
+
+
+def test_cms_never_underestimates_and_err_bound(spark):
+    """est >= truth for EVERY queried item (the one-sided guarantee),
+    and est - truth <= e*N/w for all planted items (deterministic pin
+    — the hash is fixed; the probabilistic bound holds per-item with
+    prob 1-e^-4 and the fixture has no adversarial collisions)."""
+    df = _zipf_tokens(spark)
+    n_total = df.count()
+    sketch = cms_build(df, "v")
+    items = df.distinct()
+    est = {r["v"]: r["cms_est"]
+           for r in cms_probe(sketch, items, "v").collect()}
+    truth = {r["v"]: r["n"] for r in
+             df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    bound = cms_err_bound(n_total)
+    for tok, n in truth.items():
+        assert est[tok] >= n, tok
+        assert est[tok] - n <= bound, (tok, est[tok], n, bound)
+
+
+def test_cms_absent_item_estimates_small(spark):
+    """Items never inserted probe to ~0 (only collision mass)."""
+    sketch = cms_build(_zipf_tokens(spark), "v")
+    ghosts = (spark.range(20)
+              .select(F.concat_ws("-", F.lit("ghost"), F.col("id"))
+                      .alias("v")))
+    est = cms_probe(sketch, ghosts, "v").toPandas()
+    assert (est["cms_est"] >= 0).all()
+    assert (est["cms_est"] <= cms_err_bound(40_960)).all()
+
+
+def test_cms_merge_is_sketch_of_concat(spark):
+    """Cell-wise sum of shard sketches == sketch of the concatenated
+    input — frame-exact (multiset semantics: overlap counts twice)."""
+    a = _zipf_tokens(spark)
+    b = (spark.range(5000, numPartitions=8)
+         .select(F.concat_ws("-", F.lit("t"), F.col("id") % 7)
+                 .alias("v")))
+    merged = cms_merge(cms_build(a, "v"), cms_build(b, "v"))
+    direct = cms_build(a.unionByName(b), "v")
+    assert merged.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(merged).isEmpty()
+
+
+def test_cms_bounded_state_and_md5_mode(spark):
+    """Sketch frame is <= d*w rows at any input size; md5 twin mode
+    obeys the same no-underestimate contract."""
+    df = _zipf_tokens(spark)
+    sk = cms_build(df, "v", hash_fn="md5")
+    assert sk.count() <= CMS_D_DEFAULT * (1 << CMS_WP_DEFAULT)
+    est = cms_probe(sk, df.distinct(), "v", hash_fn="md5")
+    truth = df.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    bad = (est.join(truth, "v")
+           .where(F.col("cms_est") < F.col("n")).count())
+    assert bad == 0
+
+
+def test_cms_vocab_contract_on_fixture(spark, corpus_df):
+    """cms_vocab over the fixture corpus: k rows, every no_underest
+    true, and the heavy head (top tokens, far above collision mass)
+    estimates exactly."""
+    from miekki.stages.normalize import norm_text_col
+
+    docs = corpus_df.select(norm_text_col("text").alias("norm"))
+    out = cms_vocab(docs, k=50).toPandas().sort_values(
+        "n", ascending=False, ignore_index=True)
+    assert len(out) == 50
+    assert out["no_underest"].all()
+    head = out.head(5)
+    assert (head["cms_est"] == head["n"]).all() or \
+        ((head["cms_est"] - head["n"]) <= 0.02 * head["n"]).all()
+
+
+def test_cms_plan_single_exchange_build_no_window_no_python(spark):
+    """Build = map-only explode + ONE Exchange with map-side sum
+    partials; never a window, never Python eval."""
+    sk = cms_build(_zipf_tokens(spark), "v")
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan   # partial+final
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
