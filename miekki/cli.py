@@ -140,6 +140,56 @@ def cmd_filter(args):
     }))
 
 
+def cmd_stats(args):
+    """Corpus distribution report via the bounded-state sketch family
+    (X43/X45) plus the exact vocabulary head (X21): per-language
+    HyperLogLog vocabulary cardinality (register frame + estimate —
+    sketch-sized state, the corpus' token VALUES are never shuffled),
+    per-language HDR doc-length quantiles (bin frame + guaranteed
+    [lo, hi] containment intervals), and the exact top-k tokens
+    (TakeOrderedAndProject — per-partition heaps). Each lands as a
+    catalog table; the printed JSON carries the headline numbers
+    (every collected frame here is sketch-sized: ≤ langs·3 quantile
+    rows, ≤ langs HLL rows, ≤ k token rows)."""
+    from pyspark.sql import functions as F
+
+    from miekki.sketches import (hdr_histogram, hdr_quantiles,
+                                 hll_estimate, hll_registers)
+    from miekki.stages.normalize import norm_text_col
+    from miekki.webstats import vocab_topk
+
+    spark = _get_spark(args)
+    cat = _get_catalog(spark, args)
+    docs = (cat.read(args.corpus)
+            .select("lang", norm_text_col("text").alias("norm"))
+            .withColumn("n_chars", F.length("norm")))
+    toks = (docs.select("lang", F.explode(F.split("norm", " "))
+                        .alias("token"))
+            .where(F.col("token") != ""))
+
+    regs = hll_registers(toks, "token", ("lang",))
+    vocab = hll_estimate(regs, ("lang",))
+    lens = hdr_quantiles(hdr_histogram(docs, "n_chars", ("lang",)),
+                         ("lang",))
+    top = vocab_topk(docs, k=args.topk)
+    cat.overwrite("stats_vocab_hll", vocab, run_id=args.run_id)
+    cat.overwrite("stats_len_quantiles", lens, run_id=args.run_id)
+    cat.overwrite("stats_vocab_topk", top, run_id=args.run_id)
+
+    vrows = {r["lang"]: round(r["est_distinct"], 1)
+             for r in cat.read("stats_vocab_hll").collect()}
+    lrows = {}
+    for r in cat.read("stats_len_quantiles").collect():
+        lrows.setdefault(r["lang"], {})[r["q"]] = [r["lo"], r["hi"]]
+    trows = [[r["token"], r["n"]]
+             for r in cat.read("stats_vocab_topk")
+             .orderBy(F.desc("n"), "token").limit(10).collect()]
+    print(json.dumps({"run_id": args.run_id,
+                      "vocab_est_by_lang": vrows,
+                      "len_quantile_bounds_by_lang": lrows,
+                      "top_tokens_head": trows}))
+
+
 def cmd_curate(args):
     """End-to-end training-data curation — the composition the engine
     exists for, as one resumable catalog run:
@@ -397,6 +447,13 @@ def main(argv=None):
     pf.add_argument("--langs", default="en",
                     help="comma-separated language allowlist")
     pf.set_defaults(fn=cmd_filter)
+
+    ps = sub.add_parser("stats", parents=[common])
+    ps.add_argument("--run-id", default="stats0")
+    ps.add_argument("--corpus", default="corpus",
+                    help="catalog table to report on (e.g. corpus_kept)")
+    ps.add_argument("--topk", type=int, default=100)
+    ps.set_defaults(fn=cmd_stats)
 
     pc = sub.add_parser("curate", parents=[common])
     pc.add_argument("--run-id", default="curate0")

@@ -608,16 +608,30 @@ def q_quality(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    """lang_id + quality_score folded (r5: frees a registry slot for
-    hll_vocab under the driver's 50-key cap): ONE map-only projection
-    over _norm_docs carrying X3's predicted language next to X4/X5's
-    quality signals — both remain FULL per-row value twins."""
+    """lang_id + quality_score + repetition folded (r5: frees registry
+    slots for hll_vocab / len_quantiles under the driver's 50-key
+    cap): ONE map-only projection over _norm_docs carrying X3's
+    predicted language next to X4/X5's quality signals and X22's
+    dup-n-gram fractions — all remain FULL per-row value twins."""
     from miekki.textstats import predict_lang, quality_columns
+    from miekki.webstats import repetition_columns
 
     df = _norm_docs(spark, sf_dir)
-    cols = quality_columns("norm")
+    cols = {**quality_columns("norm"), **repetition_columns("norm")}
     return df.select("doc_id", predict_lang("norm").alias("pred_lang"),
                      *[c.alias(n) for n, c in cols.items()])
+
+
+def q_len_quantiles(spark, sf_dir):
+    """X45: per-language doc-length p50/p90/p99 by the pinned HDR
+    histogram (base-2 octaves, 16 sub-buckets — bounded mergeable
+    state), next to the EXACT rank statistic and the deterministic
+    containment boolean lo <= exact <= hi. Full value twin: DuckDB
+    rebuilds identical integer bins, ranks, bounds, and exact values."""
+    from miekki.sketches import len_quantiles
+
+    return len_quantiles(_t(spark, sf_dir, "documents")
+                         .select("lang", "n_chars"))
 
 
 def q_hll_vocab(spark, sf_dir):
@@ -1599,6 +1613,7 @@ QUERIES: dict[str, Callable] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "text_quality": q_text_quality,
+    "len_quantiles": q_len_quantiles,
     "hll_vocab": q_hll_vocab,
     "ngram_jaccard": q_ngram_jaccard,
     "url_canon": q_url_canon,
@@ -1907,7 +1922,8 @@ def _quality_clf_oracle() -> str:
 
 def _extras_oracle_sql() -> dict[str, str]:
     from miekki.bloom import bloom_decontam_duck_sql
-    from miekki.sketches import cms_vocab_duck_sql, hll_vocab_duck_sql
+    from miekki.sketches import (cms_vocab_duck_sql, hll_vocab_duck_sql,
+                                 len_quantiles_duck_sql)
     from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
     from miekki.chunking import chunk_duck_sql, chunk_tokens_duck_sql
     from miekki.dsir import RANK_BUCKETS, dsir_duck_sql
@@ -2046,7 +2062,9 @@ def _extras_oracle_sql() -> dict[str, str]:
             norm_expr="norm", pii_expr="ptext", allowed_langs=("en",)),
         "text_quality": (
             f"SELECT doc_id, {lang_id_duck_sql('norm')} AS pred_lang,"
-            f" {quality_duck_cols('norm')} FROM ({_NORM_CTE})"),
+            f" {quality_duck_cols('norm')},"
+            f" {repetition_duck_cols('norm')} FROM ({_NORM_CTE})"),
+        "len_quantiles": len_quantiles_duck_sql("documents"),
         "hll_vocab": hll_vocab_duck_sql(
             f"SELECT lang, {_NORM_DUCK} AS norm FROM documents"),
         "lang_id": (f"SELECT doc_id, {lang_id_duck_sql('norm')} AS pred_lang"
@@ -2338,7 +2356,7 @@ _FOLDED_AWAY = (set(_SIG_CONTRACTS) | set(_PIPELINE_CONTRACTS)
                    "profile", "profile_approx", "scan_corpus",
                    "edge_union", "cc_largestar", "cc_smallstar",
                    "bucket_edges", "lang_id", "quality_score",
-                   "vocab_topk"})
+                   "vocab_topk", "repetition"})
 
 # never-driver-recorded (r4 artifact stopped at key 50) and new-this-
 # round keys FIRST; previously-recorded full twins after
@@ -2346,7 +2364,8 @@ _FRONT = [
     "seq_pack", "chunk_passages", "pack_pieces", "chunk_tokens",
     "quality_clf", "semdedup_text", "curate_funnel", "shard_assign",
     "soft_dedup", "lsh_plan", "bloom_decontam", "hll_vocab",
-    "cms_vocab", "text_quality", "asof_join", "ann_brute",
+    "cms_vocab", "len_quantiles", "text_quality", "asof_join",
+    "ann_brute",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _FRONT}

@@ -357,6 +357,197 @@ SELECT exact.token, n, cms_est, cms_est >= n AS no_underest
 FROM exact JOIN est USING (token)"""
 
 
+# =====================================================================
+# X45 — HDR-style histogram / quantile sketch: distribution stats
+# with bounded, mergeable per-group state (HdrHistogram bucketing —
+# base-2 octaves with S linear sub-buckets; rel. resolution 1/S)
+# =====================================================================
+#
+# The fourth bounded-state statistic next to X42/X43/X44: exact
+# per-group quantiles at 10^12 rows need a per-group SORT of every
+# value; the histogram shuffles ≤ ~60·S bin rows per group, merges by
+# bin-wise SUM (shard histograms add — same algebra as the CMS), and
+# answers any quantile with a GUARANTEED containment: the returned
+# [lo, hi] bin interval provably contains the exact rank statistic
+# (the bin map is monotone in x, so the r-th smallest value lands in
+# the first bin whose cumulative count reaches r). No tolerance
+# handwaving — the twin pins `contained` per row.
+#
+# Pinned spec (integers only; exact in both engines for 0 ≤ x < 2^58):
+#   x = 0      → bin -1                    (its own underflow bucket)
+#   x ≥ 1      → o = bitlen(x)-1 = length(bin(x))-1   (octave)
+#                p = 2^o; sub = (x-p)·S DIV p ∈ [0,S)
+#                bin = o·S + sub
+#   bounds: lo(bin) = p + sub·p DIV S, hi(bin) = p + (sub+1)·p DIV S - 1
+#   rank:  r = ceil(n·num/den) = (n·num + den - 1) DIV den — integer,
+#          never a float q·n product.
+
+HDR_SUBS_DEFAULT = 16               # 16 sub-buckets/octave: ≤6.7% width
+HDR_QS_DEFAULT = ((1, 2), (9, 10), (99, 100))   # p50 / p90 / p99
+
+
+def _hdr_bin_expr(col: str, s: int) -> str:
+    """Spark/DuckDB-shared integer binning text (engine-portable ops:
+    CASE, length(bin()), DIV//, *). Caller substitutes the DIV token."""
+    return (f"CASE WHEN {col} <= 0 THEN -1 ELSE "
+            f"(length(bin({col})) - 1) * {s} + "
+            f"(({col} - __p) * {s}) {{div}} __p END")
+
+
+def hdr_histogram(df: DataFrame, col: str,
+                  group_cols: Sequence[str] = (),
+                  s: int = HDR_SUBS_DEFAULT) -> DataFrame:
+    """The sketch: (group…, bin int, cnt long) — ≤ bitlen(max)·s bins
+    per group at any input size. ONE groupBy whose sum partials
+    collapse map-side. Merge shard histograms by bin-wise sum
+    (hdr_merge = cms_merge's algebra; or rebuild over the concat —
+    identical frames)."""
+    p = f"shiftleft(CAST(1 AS BIGINT), length(bin({col})) - 1)"
+    # NULL values are dropped, not binned: a NULL bin would sort
+    # first in Spark's cum-window but last in DuckDB's — the one
+    # place the engines' defaults diverge on this plan
+    binned = (df
+              .where(F.col(col).isNotNull())
+              .select(*group_cols, F.col(col),
+                      F.expr(p).alias("__p"))
+              .select(*group_cols,
+                      F.expr(_hdr_bin_expr(col, s).format(div="DIV"))
+                      .cast("int").alias("bin")))
+    return (binned.groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hdr_bounds(bin_col: str, s: int) -> tuple[str, str]:
+    """(lo, hi) SQL texts for a bin index column — the inclusive
+    integer value interval the bin covers (bin -1 → [0, 0]).
+    Ceil arithmetic, not floor: bin(x) = b ⟺ sub ≤ (x-p)·s/p < sub+1
+    ⟺ x ∈ [p + ceil(sub·p/s), p + ceil((sub+1)·p/s) - 1], and for
+    octaves smaller than s (p < s) the floor variant collapses hi
+    below lo — the ceil form is exact at every octave."""
+    o = f"({bin_col} DIV {s})"
+    sub = f"({bin_col} % {s})"
+    p = f"shiftleft(CAST(1 AS BIGINT), {o})"
+    lo = (f"CASE WHEN {bin_col} < 0 THEN CAST(0 AS BIGINT)"
+          f" ELSE {p} + ({sub} * {p} + {s} - 1) DIV {s} END")
+    hi = (f"CASE WHEN {bin_col} < 0 THEN CAST(0 AS BIGINT)"
+          f" ELSE {p} + (({sub} + 1) * {p} + {s} - 1) DIV {s} - 1 END")
+    return lo, hi
+
+
+def hdr_quantiles(hist: DataFrame, group_cols: Sequence[str] = (),
+                  s: int = HDR_SUBS_DEFAULT,
+                  qs: Sequence[tuple[int, int]] = HDR_QS_DEFAULT) \
+        -> DataFrame:
+    """Quantile read-out over a histogram frame: for each (group, q)
+    the first bin whose running count reaches r = ceil(n·num/den),
+    with its [lo, hi] value bounds. All windows run over ≤ ~60·s bin
+    rows per group — bounded regardless of input size. Output:
+    (group…, q string, n_vals, r, bin, lo, hi)."""
+    from pyspark.sql import Window
+
+    gw = (Window.partitionBy(*[F.col(c) for c in group_cols])
+          if group_cols else Window.partitionBy(F.lit(1)))
+    cum_w = (gw.orderBy("bin")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist
+           .withColumn("cum", F.sum("cnt").over(cum_w))
+           .withColumn("n_vals", F.sum("cnt").over(gw)))
+    q_rows = ", ".join(f"({num}, {den}, '{num/den:.2f}')"
+                       for num, den in qs)
+    quants = cum.sparkSession.sql(
+        f"SELECT col1 AS q_num, col2 AS q_den, col3 AS q FROM "
+        f"VALUES {q_rows}")
+    joined = (cum.crossJoin(F.broadcast(quants))
+              .withColumn("r", F.expr(
+                  "(n_vals * q_num + q_den - 1) DIV q_den"))
+              .where(F.col("cum") >= F.col("r")))
+    lo, hi = hdr_bounds("bin", s)
+    return (joined.groupBy(*group_cols, "q", "n_vals", "r")
+            .agg(F.min("bin").alias("bin"))
+            .select(*group_cols, "q", "n_vals", "r", "bin",
+                    F.expr(lo).alias("lo"), F.expr(hi).alias("hi")))
+
+
+def len_quantiles(docs: DataFrame, len_col: str = "n_chars",
+                  group_col: str = "lang",
+                  s: int = HDR_SUBS_DEFAULT,
+                  qs: Sequence[tuple[int, int]] = HDR_QS_DEFAULT) \
+        -> DataFrame:
+    """Per-language document-length quantiles by the pinned histogram,
+    next to the EXACT rank statistic and the containment boolean
+    (lo ≤ exact ≤ hi — the sketch's deterministic guarantee). The
+    exact column needs a per-group sort and exists to EVIDENCE the
+    sketch at test scale; production keeps only the histogram path."""
+    from pyspark.sql import Window
+
+    est = hdr_quantiles(
+        hdr_histogram(docs, len_col, (group_col,), s), (group_col,), s, qs)
+    # fresh column names on the evidence side: est and ranked share
+    # docs as lineage, and joining same-id attributes is the ambiguous
+    # self-join trap (condition silently resolves to both sides'
+    # SAME attribute → trivially true)
+    ranked = (docs.where(F.col(len_col).isNotNull())
+              .select(F.col(group_col).alias("__g"),
+                      F.col(len_col).alias("__x"))
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("__g").orderBy("__x"))))
+    return (est.join(ranked, (F.col(group_col) == F.col("__g"))
+                     & (F.col("r") == F.col("__rn")))
+            .select(group_col, "q", "n_vals", "r", "bin", "lo", "hi",
+                    F.col("__x").alias("exact"))
+            .withColumn("contained",
+                        (F.col("lo") <= F.col("exact"))
+                        & (F.col("exact") <= F.col("hi"))))
+
+
+def len_quantiles_duck_sql(src: str, len_col: str = "n_chars",
+                           group_col: str = "lang",
+                           s: int = HDR_SUBS_DEFAULT,
+                           qs: Sequence[tuple[int, int]] = HDR_QS_DEFAULT) \
+        -> str:
+    """DuckDB twin of len_quantiles: identical integer bins, identical
+    integer ranks, identical bounds, identical exact rank statistic —
+    a full value twin of the APPROXIMATE structure plus its evidence."""
+    q_rows = ", ".join(f"({num}, {den}, '{num/den:.2f}')"
+                       for num, den in qs)
+    bin_expr = (f"CASE WHEN x <= 0 THEN -1 ELSE "
+                f"(length(bin(x)) - 1) * {s} + "
+                f"((x - (1::BIGINT << (length(bin(x)) - 1))) * {s})"
+                f" // (1::BIGINT << (length(bin(x)) - 1)) END")
+    o, sub = f"(bin // {s})", f"(bin % {s})"
+    p = f"(1::BIGINT << {o})"
+    lo = (f"CASE WHEN bin < 0 THEN 0::BIGINT"
+          f" ELSE {p} + ({sub} * {p} + {s} - 1) // {s} END")
+    hi = (f"CASE WHEN bin < 0 THEN 0::BIGINT"
+          f" ELSE {p} + (({sub} + 1) * {p} + {s} - 1) // {s} - 1 END")
+    return f"""
+WITH vals AS (SELECT {group_col} AS g, CAST({len_col} AS BIGINT) AS x
+              FROM {src} WHERE {len_col} IS NOT NULL),
+binned AS (SELECT g, CAST({bin_expr} AS INT) AS bin FROM vals),
+hist AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS cnt
+         FROM binned GROUP BY 1, 2),
+cum AS (SELECT g, bin, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin)
+                    AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n_vals
+        FROM hist),
+quants(q_num, q_den, q) AS (VALUES {q_rows}),
+hit AS (
+  SELECT g, q, n_vals,
+         CAST((n_vals * q_num + q_den - 1) // q_den AS BIGINT) AS r,
+         min(bin) AS bin
+  FROM cum CROSS JOIN quants
+  WHERE cum >= (n_vals * q_num + q_den - 1) // q_den
+  GROUP BY 1, 2, 3, 4),
+bounds AS (SELECT g, q, n_vals, r, bin, {lo} AS lo, {hi} AS hi FROM hit),
+ranked AS (SELECT g, x,
+                  row_number() OVER (PARTITION BY g ORDER BY x) AS rn
+           FROM vals)
+SELECT bounds.g AS {group_col}, q, n_vals, r, bin, lo, hi,
+       ranked.x AS exact, (lo <= ranked.x AND ranked.x <= hi) AS contained
+FROM bounds JOIN ranked ON bounds.g = ranked.g AND bounds.r = ranked.rn"""
+
+
 def hll_vocab_duck_sql(norm_lang_cte: str, p: int = HLL_P_DEFAULT,
                        tol_sigmas: float = 5.0) -> str:
     """DuckDB twin of hll_vocab(hash_fn='md5'): identical hashes,

@@ -182,3 +182,52 @@ def test_cli_curate_soft_alpha(spark, corpus_df, tmp_path_factory,
                            "left_semi")
                      .select("cluster_id").distinct().count())
     assert kept_clusters == n_clusters
+
+
+def test_cli_stats_sketch_report(spark, corpus_df, filter_catalog_root,
+                                 capsys):
+    """stats writes the three sketch-family tables and a summary whose
+    numbers are consistent with the corpus: vocab estimates within the
+    HLL tolerance of the exact per-lang counts, every length-quantile
+    interval containing its exact rank statistic, top-token head
+    matching the exact vocabulary count."""
+    from pyspark.sql import functions as F
+
+    from miekki.sketches import hll_rel_err
+    from miekki.stages.normalize import norm_text_col
+
+    main(["stats", "--catalog-root", filter_catalog_root,
+          "--run-id", "st1", "--topk", "20"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    cat = HadoopCatalog(spark, filter_catalog_root)
+    docs = (corpus_df
+            .select("lang", norm_text_col("text").alias("norm")))
+    toks = (docs.select("lang", F.explode(F.split("norm", " "))
+                        .alias("token"))
+            .where(F.col("token") != ""))
+    exact_vocab = {r["lang"]: r["n"] for r in
+                   toks.groupBy("lang")
+                   .agg(F.count_distinct("token").alias("n")).collect()}
+    tol = 5 * hll_rel_err(12)
+    for lang, est in out["vocab_est_by_lang"].items():
+        assert abs(est / exact_vocab[lang] - 1.0) <= tol, lang
+
+    # every quantile interval contains the exact rank statistic
+    lens = cat.read("stats_len_quantiles").collect()
+    by_lang = {}
+    for r in docs.select("lang", F.length("norm").alias("x")).collect():
+        by_lang.setdefault(r["lang"], []).append(r["x"])
+    for r in lens:
+        xs = sorted(by_lang[r["lang"]])
+        assert r["n_vals"] == len(xs)
+        exact = xs[r["r"] - 1]
+        assert r["lo"] <= exact <= r["hi"], r
+
+    # top-token head: n is the true corpus count
+    counts = {r["token"]: r["n"] for r in
+              toks.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert out["top_tokens_head"]
+    for token, n in out["top_tokens_head"]:
+        assert counts[token] == n

@@ -237,6 +237,108 @@ def test_cms_vocab_contract_on_fixture(spark, corpus_df):
         ((head["cms_est"] - head["n"]) <= 0.02 * head["n"]).all()
 
 
+# =====================================================================
+# X45 — HDR histogram / quantile sketch
+# =====================================================================
+
+from miekki.sketches import (HDR_QS_DEFAULT, HDR_SUBS_DEFAULT,  # noqa: E402
+                             hdr_bounds, hdr_histogram, hdr_quantiles,
+                             len_quantiles)
+
+
+def _lens(spark, rows, parts=8):
+    """DataFrame (g, x) from a list of (group, value) pairs."""
+    return spark.createDataFrame(rows, "g string, x long") \
+        .repartition(parts)
+
+
+def test_hdr_bin_monotone_and_bounds_partition_the_domain(spark):
+    """bin(x) is monotone non-decreasing in x, and every x lands
+    inside its own bin's [lo, hi] — including the sub-s octaves
+    (p < 16) where floor-based bounds would collapse."""
+    xs = list(range(0, 700)) + [10**k for k in range(3, 15)]
+    df = spark.createDataFrame([(int(x),) for x in xs], "x long")
+    lo, hi = hdr_bounds("bin", HDR_SUBS_DEFAULT)
+    p = "shiftleft(CAST(1 AS BIGINT), length(bin(x)) - 1)"
+    binned = (df.select("x", F.expr(p).alias("__p"))
+              .select("x", F.expr(
+                  f"CASE WHEN x <= 0 THEN -1 ELSE "
+                  f"(length(bin(x)) - 1) * 16 + ((x - __p) * 16) DIV __p"
+                  f" END").cast("int").alias("bin"))
+              .select("x", "bin", F.expr(lo).alias("lo"),
+                      F.expr(hi).alias("hi"))
+              .orderBy("x").collect())
+    prev_bin = None
+    for r in binned:
+        if prev_bin is not None:
+            assert r["bin"] >= prev_bin, r
+        prev_bin = r["bin"]
+        if r["x"] > 0:
+            assert r["lo"] <= r["x"] <= r["hi"], r
+
+
+def test_hdr_histogram_bounded_and_mergeable(spark):
+    """Histogram frame is tiny regardless of input size, and bin-wise
+    sum of shard histograms == histogram of the concatenation."""
+    a = _lens(spark, [("g", (i * 37) % 5000 + 1) for i in range(4000)])
+    b = _lens(spark, [("g", (i * 11) % 800 + 1) for i in range(2000)])
+    ha, hb = hdr_histogram(a, "x", ("g",)), hdr_histogram(b, "x", ("g",))
+    from miekki.sketches import cms_merge
+    merged = cms_merge(ha, hb)       # same bin-wise-sum algebra
+    direct = hdr_histogram(a.unionByName(b), "x", ("g",))
+    assert merged.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(merged).isEmpty()
+    assert direct.count() <= 13 * 16   # <= bitlen(5000) octaves * s
+
+
+def test_hdr_quantiles_contain_exact_rank_stat(spark):
+    """For every (group, q): the exact r-th order statistic lies in
+    the returned [lo, hi] — the sketch's deterministic guarantee."""
+    import random
+    rng = random.Random(7)
+    rows = [("a", rng.randrange(1, 100_000)) for _ in range(3000)] + \
+           [("b", rng.randrange(1, 50)) for _ in range(500)] + \
+           [("c", 1)]
+    out = len_quantiles(_lens(spark, rows), len_col="x",
+                        group_col="g").collect()
+    assert len(out) == 3 * 3
+    by_group = {}
+    for r in out:
+        assert r["contained"], r
+        assert r["lo"] <= r["exact"] <= r["hi"], r
+        by_group.setdefault(r["g"], []).append(r)
+    # sanity: p50 <= p90 <= p99 per group (exact column is ordered)
+    for g, rs in by_group.items():
+        rs = sorted(rs, key=lambda r: r["q"])
+        assert rs[0]["exact"] <= rs[1]["exact"] <= rs[2]["exact"]
+    # singleton group: every quantile is the single value
+    assert all(r["exact"] == 1 and r["n_vals"] == 1
+               for r in by_group["c"])
+
+
+def test_hdr_relative_error_bound(spark):
+    """Bin width / lo <= ~1/s for octaves >= s: the estimate interval
+    is within ~6.7% relative width at s=16 for values >= 16."""
+    rows = [("g", v) for v in range(16, 20_000, 7)]
+    out = len_quantiles(_lens(spark, rows), len_col="x",
+                        group_col="g").collect()
+    for r in out:
+        assert (r["hi"] - r["lo"] + 1) / r["lo"] <= 1 / 16 + 1e-9, r
+
+
+def test_hdr_quantile_plan_bounded_windows_no_python(spark):
+    """The read-out windows run over histogram bins (bounded), never
+    over raw rows; no Python eval anywhere."""
+    hist = hdr_histogram(_lens(spark, [("g", i + 1) for i in range(100)]),
+                         "x", ("g",))
+    q = hdr_quantiles(hist, ("g",))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # windows exist but their input is the grouped histogram, whose
+    # aggregation precedes them in the plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_cms_plan_single_exchange_build_no_window_no_python(spark):
     """Build = map-only explode + ONE Exchange with map-side sum
     partials; never a window, never Python eval."""
