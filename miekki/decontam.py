@@ -92,6 +92,50 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
     return df.withColumn(out_col, canonical_url_col(url_col))
 
 
+def url_dedup(docs: DataFrame, url_col: str = "url",
+              len_col: str = "n_chars") -> DataFrame:
+    """X46 — URL-level dedup (the step every crawl pipeline runs
+    BEFORE content dedup: C4/CCNet/RefinedWeb all collapse re-crawls
+    of one page first): group captures by canonical URL, keep the
+    richest capture — winner = max(struct(len, doc_id)), i.e. longest
+    text, ties to the larger doc_id. Exactly one winner per canonical
+    URL; kept is computed, never filtered (X24's pattern).
+
+    Scale shape (the soft_dedup argument): ONE groupBy(canon_url)
+    whose count/max-struct partials collapse map-side — a page
+    re-crawled 10^6 times folds before the exchange — then a plain
+    equi-join back (AQE broadcasts small stats, skew-splits hot
+    URLs). Never a window over raw captures.
+
+    Output: (doc_id, canon_url, n_dups, kept)."""
+    lc = F.col(len_col)
+    base = docs.select("doc_id",
+                       canonical_url_col(url_col).alias("canon_url"),
+                       lc.cast("long").alias("__len"))
+    stats = base.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.max(F.struct(F.col("__len"), F.col("doc_id"))).alias("__w"))
+    return (base.join(stats, "canon_url")
+            .select("doc_id", "canon_url", "n_dups",
+                    ((F.col("__len") == F.col("__w.__len"))
+                     & (F.col("doc_id") == F.col("__w.doc_id")))
+                    .alias("kept")))
+
+
+def url_dedup_duck_sql(src: str, url_expr: str = "url",
+                       len_expr: str = "n_chars") -> str:
+    """DuckDB twin of url_dedup: window-function formulation
+    (independent decomposition — rank over captures instead of the
+    groupBy+join max-struct)."""
+    return (f"SELECT doc_id, canon_url,"
+            f" CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)"
+            f" AS n_dups,"
+            f" row_number() OVER (PARTITION BY canon_url"
+            f"   ORDER BY {len_expr} DESC, doc_id DESC) = 1 AS kept"
+            f" FROM (SELECT doc_id, {len_expr},"
+            f" {canonical_url_duck(url_expr)} AS canon_url FROM {src})")
+
+
 def canonical_url_duck(expr: str) -> str:
     """DuckDB expression computing the same canonical URL —
     independently written against the pinned spec (the driver

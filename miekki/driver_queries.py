@@ -715,6 +715,35 @@ def q_url_canon(spark, sf_dir):
             .select("doc_id", canonical_url_col("url").alias("canon_url")))
 
 
+# Recrawl variant of the messy-URL fixture: page identity is
+# pmod(doc_id, 100) (so ~5 captures/page at sf0.01) while the
+# capture-level mess (scheme case, ports, tracking params, fragments,
+# trailing-slash forms) still varies per doc_id — canonicalization
+# must collapse exactly the captures whose canonical forms agree
+# (non-default :8080 ports and /Index.HTML paths stay distinct, by
+# spec).
+_RECRAWL_URL_SPARK = _MESSY_URL_SPARK.replace(
+    "'/Article/', cast(doc_id as string)",
+    "'/Article/', cast(pmod(doc_id, 100) as string)")
+_RECRAWL_URL_DUCK = _MESSY_URL_DUCK.replace(
+    "'/Article/' || CAST(doc_id AS VARCHAR)",
+    "'/Article/' || CAST(((doc_id % 100) + 100) % 100 AS VARCHAR)")
+
+
+def q_url_dedup(spark, sf_dir):
+    """X46: URL-level dedup over the recrawl fixture — canonicalize
+    (X18's full spec, exercised on every row), group captures by
+    canonical URL, keep the richest capture (max text length, ties to
+    larger doc_id). Full per-row value twin; the fold replaces the
+    plain url_canon key (canon_url is this query's second column)."""
+    from miekki.decontam import url_dedup
+
+    return url_dedup(_t(spark, sf_dir, "documents")
+                     .select("doc_id",
+                             F.expr(_RECRAWL_URL_SPARK).alias("url"),
+                             "n_chars"))
+
+
 def q_decontam(spark, sf_dir):
     """X17: per-training-doc benchmark-contamination report (8-word
     grams, bench = pmod(doc_id, 97) == 0). String-gram mode so DuckDB
@@ -1617,6 +1646,7 @@ QUERIES: dict[str, Callable] = {
     "hll_vocab": q_hll_vocab,
     "ngram_jaccard": q_ngram_jaccard,
     "url_canon": q_url_canon,
+    "url_dedup": q_url_dedup,
     "decontam": q_decontam,
     "pii_stats": q_pii,
     "domain_stats": q_domain_stats,
@@ -1924,7 +1954,8 @@ def _extras_oracle_sql() -> dict[str, str]:
     from miekki.bloom import bloom_decontam_duck_sql
     from miekki.sketches import (cms_vocab_duck_sql, hll_vocab_duck_sql,
                                  len_quantiles_duck_sql)
-    from miekki.decontam import canonical_url_duck, decontaminate_duck_sql
+    from miekki.decontam import (canonical_url_duck, decontaminate_duck_sql,
+                                 url_dedup_duck_sql)
     from miekki.chunking import chunk_duck_sql, chunk_tokens_duck_sql
     from miekki.dsir import RANK_BUCKETS, dsir_duck_sql
     from miekki.lm import lm_score_duck_sql
@@ -1996,6 +2027,9 @@ def _extras_oracle_sql() -> dict[str, str]:
         "url_canon": (
             f"SELECT doc_id, {canonical_url_duck(_MESSY_URL_DUCK)}"
             " AS canon_url FROM documents"),
+        "url_dedup": url_dedup_duck_sql(
+            f"(SELECT doc_id, {_RECRAWL_URL_DUCK} AS url, n_chars"
+            f" FROM documents)"),
         "decontam": decontaminate_duck_sql(_NORM_CTE, n=8),
         "pii_stats": (
             f"SELECT doc_id, {pii_duck_cols('text')} FROM"
@@ -2356,7 +2390,7 @@ _FOLDED_AWAY = (set(_SIG_CONTRACTS) | set(_PIPELINE_CONTRACTS)
                    "profile", "profile_approx", "scan_corpus",
                    "edge_union", "cc_largestar", "cc_smallstar",
                    "bucket_edges", "lang_id", "quality_score",
-                   "vocab_topk", "repetition"})
+                   "vocab_topk", "repetition", "url_canon"})
 
 # never-driver-recorded (r4 artifact stopped at key 50) and new-this-
 # round keys FIRST; previously-recorded full twins after
@@ -2364,8 +2398,8 @@ _FRONT = [
     "seq_pack", "chunk_passages", "pack_pieces", "chunk_tokens",
     "quality_clf", "semdedup_text", "curate_funnel", "shard_assign",
     "soft_dedup", "lsh_plan", "bloom_decontam", "hll_vocab",
-    "cms_vocab", "len_quantiles", "text_quality", "asof_join",
-    "ann_brute",
+    "cms_vocab", "len_quantiles", "url_dedup", "text_quality",
+    "asof_join", "ann_brute",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _FRONT}

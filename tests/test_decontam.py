@@ -102,3 +102,67 @@ def test_decontaminate_broadcast_plan(spark):
     plan = (decontaminate(docs, n=8)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+# =====================================================================
+# X46 — URL-level dedup
+# =====================================================================
+
+def test_url_dedup_collapses_recrawls_keeps_richest(spark):
+    """Captures that canonicalize identically form one group with
+    exactly one winner — the longest text, ties to the larger doc_id;
+    distinct canonical forms (non-default port, different path) stay
+    separate."""
+    from miekki.decontam import url_dedup
+
+    rows = [
+        # page A: three captures, tracking-param/scheme-case mess only
+        (1, "https://www.a.com/p?utm_source=x", 100),
+        (2, "HTTPS://A.COM:443/p", 300),
+        (3, "https://a.com/p/#frag", 300),      # tie on len -> doc 3
+        # page B: one capture
+        (4, "http://b.com/q", 50),
+        # page A on a NON-default port: its own group
+        (5, "https://a.com:8080/p", 999),
+    ]
+    out = {r["doc_id"]: r for r in
+           url_dedup(spark.createDataFrame(
+               rows, "doc_id long, url string, n_chars long")).collect()}
+    assert out[1]["canon_url"] == out[2]["canon_url"] == out[3]["canon_url"]
+    assert out[1]["n_dups"] == 3
+    assert (out[1]["kept"], out[2]["kept"], out[3]["kept"]) == \
+        (False, False, True)
+    assert out[4]["kept"] and out[4]["n_dups"] == 1
+    assert out[5]["kept"] and out[5]["n_dups"] == 1
+    assert out[5]["canon_url"] != out[1]["canon_url"]
+
+
+def test_url_dedup_exactly_one_winner_per_group(spark):
+    """Randomized: every canonical group keeps exactly one capture."""
+    from miekki.decontam import url_dedup
+
+    rows = [(i, f"https://s{i % 9}.com/page{i % 17}?utm_c={i}&z=1",
+             (i * 13) % 40) for i in range(400)]
+    out = url_dedup(spark.createDataFrame(
+        rows, "doc_id long, url string, n_chars long")).toPandas()
+    g = out.groupby("canon_url")
+    assert (g["kept"].sum() == 1).all()
+    assert (g["n_dups"].nunique() == 1).all()
+    assert (g.size().values == out.groupby("canon_url")["n_dups"]
+            .first().values).all()
+
+
+def test_url_dedup_plan_no_window_partial_agg(spark):
+    """groupBy+join shape: the giant recrawl group collapses map-side;
+    never a window over raw captures."""
+    from miekki.decontam import url_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/p", 10)], "doc_id long, url string, n_chars long")
+    plan = url_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # max(struct(...)) compiles to SortAggregate (structs are not
+    # hash-aggregatable) — still a partial + final pair, so the hot
+    # group collapses map-side before the exchange
+    n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert n_aggs >= 2, plan

@@ -26,12 +26,13 @@ def test_entry_module_exports_the_folded_registry():
 def test_never_recorded_and_new_keys_come_first():
     """The r4 artifact stopped at key 50; keys without an artifact
     row must be ordered before previously-recorded ones."""
-    front = list(QUERIES)[:22]
+    front = list(QUERIES)[:23]
     for k in ("seq_pack", "chunk_passages", "pack_pieces",
               "chunk_tokens", "quality_clf", "semdedup_text",
               "curate_funnel", "shard_assign", "asof_join", "ann_brute",
               "soft_dedup", "lsh_plan", "bloom_decontam", "hll_vocab",
-              "cms_vocab", "len_quantiles", "text_quality", "cc_edge_ops",
+              "cms_vocab", "len_quantiles", "url_dedup",
+              "text_quality", "cc_edge_ops",
               "embed_media_suite", "relational_counts",
               "sig_contracts", "pipeline_contracts"):
         assert k in front, (k, front)
@@ -47,7 +48,7 @@ def test_folds_cover_every_retired_key():
                  "profile", "profile_approx", "scan_corpus",
                  "edge_union", "cc_largestar", "cc_smallstar",
                  "bucket_edges", "lang_id", "quality_score",
-                 "vocab_topk", "repetition"})
+                 "vocab_topk", "repetition", "url_canon"})
     retired = set(_ALL_QUERIES) - set(QUERIES)
     assert retired <= folded
     # and the fold dicts reference real unfolded queries
