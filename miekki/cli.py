@@ -222,6 +222,31 @@ def cmd_curate(args):
     cfg = DedupConfig()
     t0 = time.time()
 
+    # 0. optional X46 URL-level dedup — collapse re-crawls of one
+    # page by canonical URL BEFORE any content work (the standard
+    # funnel order: every downstream stage then pays for one capture
+    # per page). url_verdicts keeps the audit trail; corpus_url_kept
+    # becomes the funnel's input table.
+    url_summary = None
+    if args.url_dedup:
+        from miekki.decontam import url_dedup
+
+        raw = (cat.read(args.corpus)
+               .withColumn("doc_id", F.expr(doc_id_sql("url", cfg))))
+        uv = url_dedup(raw.withColumn("__n", F.length("text")),
+                       len_col="__n")
+        cat.overwrite("url_verdicts", uv, run_id=args.run_id)
+        winners = (cat.read("url_verdicts")
+                   .where(F.col("kept")).select("doc_id"))
+        cat.overwrite("corpus_url_kept",
+                      raw.join(winners, "doc_id", "left_semi")
+                      .drop("doc_id"),
+                      run_id=args.run_id)
+        n_url_in = cat.read("url_verdicts").count()
+        n_url_kept = cat.read("corpus_url_kept").count()
+        url_summary = {"captures": n_url_in, "pages_kept": n_url_kept}
+        args.corpus = "corpus_url_kept"
+
     # 1. filter battery → keep/drop verdicts + surviving corpus
     # (shared head with the filter subcommand — one definition)
     corpus, docs, kept_ids = _run_filter(spark, cat, cfg, args)
@@ -401,6 +426,7 @@ def cmd_curate(args):
                    "after_dedup": res["n_docs"],
                    "after_cap": survivors.count(),
                    "curated": n_curated},
+        "url_dedup": url_summary,
         "retention": ("cap" if args.soft_alpha is None
                       else f"soft:{args.soft_alpha}"),
         "by_split": {r["split"]: r["n"] for r in
@@ -460,6 +486,10 @@ def main(argv=None):
     pc.add_argument("--corpus", default="corpus")
     pc.add_argument("--langs", default="en")
     pc.add_argument("--cluster-cap", type=int, default=4)
+    pc.add_argument("--url-dedup", action="store_true",
+                    help="collapse re-crawls by canonical URL (X46)"
+                         " before the filter battery; writes"
+                         " url_verdicts + corpus_url_kept")
     pc.add_argument("--soft-alpha", type=float, default=None,
                     help="use X40 soft dedup (keep each cluster "
                     "member w.p. n^-alpha, min-rank always kept) "

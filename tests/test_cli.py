@@ -231,3 +231,38 @@ def test_cli_stats_sketch_report(spark, corpus_df, filter_catalog_root,
     assert out["top_tokens_head"]
     for token, n in out["top_tokens_head"]:
         assert counts[token] == n
+
+
+def test_cli_curate_url_dedup_stage(spark, corpus_df, tmp_path_factory,
+                                    capsys):
+    """--url-dedup collapses re-crawls before the filter battery: a
+    tracking-param recrawl with truncated text loses to the original
+    capture, the funnel's input is pages (not captures), and the
+    audit tables agree with the summary."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("cli_urldedup"))
+    cat = HadoopCatalog(spark, root)
+    base = corpus_df.limit(120)
+    recrawl = (base.limit(40)
+               .withColumn("url", F.concat(
+                   F.col("url"), F.lit("?utm_src=recrawl&fbclid=z")))
+               .withColumn("text", F.expr("substring(text, 1, 10)")))
+    cat.overwrite("corpus", base.unionByName(recrawl), run_id="ingest")
+
+    main(["curate", "--catalog-root", root, "--run-id", "u1",
+          "--url-dedup", "--langs", "en,fr,es,zh,de",
+          "--mix", "en=1.0", "--default-rate", "1.0",
+          "--splits", "train=1.0"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert out["url_dedup"] == {"captures": 160, "pages_kept": 120}
+    assert out["funnel"]["input"] == 120
+    kept = cat.read("corpus_url_kept")
+    assert kept.count() == 120
+    # every winner is the ORIGINAL (longer) capture — no kept url
+    # carries the recrawl marker
+    assert kept.where(F.col("url").contains("recrawl")).count() == 0
+    v = cat.read("url_verdicts")
+    assert v.count() == 160
+    assert v.where("kept").count() == 120
