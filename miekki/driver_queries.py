@@ -2214,6 +2214,54 @@ _SIG_CONTRACTS = {
     "verify_jaccard": q_verify_jaccard,
     "doc_fingerprint": q_doc_fingerprint,
 }
+def q_cross_contract(spark, sf_dir):
+    """X47 — cross-corpus near-dup flagging contract: corpus A = the
+    fixture signatures; corpus B = 40 verbatim copies of the
+    lowest-id A docs under fresh ids (every one must flag with
+    est_j = 1.0 — its twin, or an exact-dup family member with the
+    identical signature, surfaces as a bucket representative in at
+    least one of the copy's 32 bands) + 40 gibberish docs (md5-hex
+    text; none may flag). One row of booleans; the oracle pins them
+    true."""
+    from miekki.cross import cross_dedup
+    from miekki.stages.normalize import normalize
+    from miekki.stages.signatures import signatures_from_text
+
+    corpus = _fixture_corpus_df(spark, sf_dir)
+    docs_a = normalize(corpus, CFG).localCheckpoint()
+    sigs_a = signatures_from_text(docs_a, CFG)
+
+    dup_src = (docs_a.orderBy("doc_id").limit(40)
+               .select(F.xxhash64(F.lit("crossB"), F.col("doc_id"))
+                       .alias("doc_id"),
+                       "norm_text", F.lit(True).alias("is_dup")))
+    negs = (docs_a.orderBy("doc_id").limit(40)
+            .select(F.xxhash64(F.lit("crossBneg"), F.col("doc_id"))
+                    .alias("doc_id"),
+                    F.concat_ws("", *[F.md5(F.concat_ws(
+                        "|", F.lit(str(i)),
+                        F.col("doc_id").cast("string")).cast("binary"))
+                        for i in range(6)]).alias("norm_text"),
+                    F.lit(False).alias("is_dup")))
+    docs_b = dup_src.unionByName(negs).localCheckpoint()
+    sigs_b = signatures_from_text(docs_b.select("doc_id", "norm_text"),
+                                  CFG)
+    v = (cross_dedup(sigs_b, sigs_a, CFG)
+         .join(docs_b.select("doc_id", "is_dup"), "doc_id"))
+    row = v.agg(
+        (F.count(F.lit(1)) == 80).alias("b_count_ok"),
+        F.min(F.when(F.col("is_dup"),
+                     F.col("flagged") & (F.col("est_j") == 1.0)
+                     & F.col("matched_a").isNotNull())
+              .otherwise(True).cast("int")).alias("_dup"),
+        F.min(F.when(~F.col("is_dup"), ~F.col("flagged"))
+              .otherwise(True).cast("int")).alias("_neg")).first()
+    return spark.createDataFrame(
+        [(bool(row["b_count_ok"]), bool(row["_dup"]), bool(row["_neg"]))],
+        "b_count_ok boolean, dups_flag_at_one boolean,"
+        " negs_clean boolean")
+
+
 def q_bpe_contract(spark, sf_dir):
     """X38 — BPE tokenizer contract: fit deterministic merges on the
     lowest-id sample, tokenize the whole corpus, pin (a) round-trip —
@@ -2251,6 +2299,7 @@ _PIPELINE_CONTRACTS = {
     "determinism": q_determinism,
     "simhash_sorted": q_simhash_sorted,
     "bpe_tokenize": q_bpe_contract,
+    "cross_dedup": q_cross_contract,
 }
 _EMBED_MEDIA_SUITE = {
     "ann_lsh": q_ann_lsh,
