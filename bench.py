@@ -212,6 +212,32 @@ def main():
         timed("q1_lineitem_agg", lambda: q1_lineitem_agg(spark, sf_dir).collect())
         timed("q3_join", lambda: q3_join(spark, sf_dir).collect())
 
+        # r5 operator families over the widened corpus (production
+        # hash mode): the curation funnel head and the bounded-state
+        # sketch trio — collected frames are verdict-count / sketch-
+        # sized, so the walls measure the distributed work
+        from pyspark.sql import functions as F
+
+        from miekki.sketches import (cms_build, hdr_histogram,
+                                     hdr_quantiles, hll_estimate,
+                                     hll_registers)
+        from miekki.webstats import filter_battery
+
+        docs_nn = normalize(corpus, cfg).localCheckpoint()
+        timed("filter_battery", lambda: filter_battery(
+            docs_nn, norm_col="norm_text")
+            .agg(F.sum(F.col("keep").cast("long"))).collect())
+        toks = (docs_nn.select(F.explode(
+            F.split("norm_text", " ")).alias("token"))
+            .where(F.col("token") != ""))
+        timed("sketch_hll_vocab", lambda: hll_estimate(
+            hll_registers(toks, "token")).collect())
+        timed("sketch_cms_build", lambda: cms_build(toks, "token")
+              .agg(F.sum("cnt")).collect())
+        timed("sketch_hdr_len", lambda: hdr_quantiles(hdr_histogram(
+            docs_nn.select(F.length("norm_text").alias("len")), "len"))
+            .collect())
+
     spark.stop()
     assert n_labels == n_docs, (n_labels, n_docs)
     print(json.dumps({

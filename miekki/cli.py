@@ -190,6 +190,38 @@ def cmd_stats(args):
                       "top_tokens_head": trows}))
 
 
+def cmd_cross(args):
+    """X47 cross-corpus near-dup flagging from spark-submit: flag
+    every doc of --corpus (B) that near-duplicates ANY doc of --ref
+    (A) at signature-Jaccard >= tau. Writes `cross_verdicts`
+    (doc_id, matched_a, est_j, flagged) — one row per B doc. The
+    exact-overlap complement is the filter/decontam path; this one
+    catches paraphrase-level and lightly-edited copies."""
+    from pyspark.sql import functions as F
+
+    from miekki.config import DedupConfig
+    from miekki.cross import cross_dedup
+    from miekki.stages.normalize import normalize
+    from miekki.stages.signatures import signatures_from_text
+
+    spark = _get_spark(args)
+    cat = _get_catalog(spark, args)
+    cfg = DedupConfig()
+    sigs_b = signatures_from_text(
+        normalize(cat.read(args.corpus), cfg), cfg)
+    sigs_a = signatures_from_text(
+        normalize(cat.read(args.ref), cfg), cfg)
+    v = cross_dedup(sigs_b, sigs_a, cfg,
+                    reps_per_bucket=args.reps_per_bucket)
+    cat.overwrite("cross_verdicts", v, run_id=args.run_id)
+    out = cat.read("cross_verdicts")
+    print(json.dumps({
+        "run_id": args.run_id,
+        "n_docs": out.count(),
+        "n_flagged": out.where(F.col("flagged")).count(),
+    }))
+
+
 def cmd_curate(args):
     """End-to-end training-data curation — the composition the engine
     exists for, as one resumable catalog run:
@@ -473,6 +505,15 @@ def main(argv=None):
     pf.add_argument("--langs", default="en",
                     help="comma-separated language allowlist")
     pf.set_defaults(fn=cmd_filter)
+
+    px = sub.add_parser("cross", parents=[common])
+    px.add_argument("--run-id", default="cross0")
+    px.add_argument("--corpus", default="corpus",
+                    help="corpus B: the table to flag")
+    px.add_argument("--ref", required=True,
+                    help="corpus A: the reference table to flag against")
+    px.add_argument("--reps-per-bucket", type=int, default=2)
+    px.set_defaults(fn=cmd_cross)
 
     ps = sub.add_parser("stats", parents=[common])
     ps.add_argument("--run-id", default="stats0")

@@ -266,3 +266,32 @@ def test_cli_curate_url_dedup_stage(spark, corpus_df, tmp_path_factory,
     v = cat.read("url_verdicts")
     assert v.count() == 160
     assert v.where("kept").count() == 120
+
+
+def test_cli_cross_verdicts(spark, corpus_df, tmp_path_factory, capsys):
+    """cross flags B docs that near-duplicate the --ref corpus: a B
+    table of verbatim copies + fresh docs produces exactly the copy
+    count as n_flagged."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("cli_cross"))
+    cat = HadoopCatalog(spark, root)
+    ref = corpus_df.limit(100)
+    cat.overwrite("ref_corpus", ref, run_id="ingest")
+    copies = (ref.limit(30)
+              .withColumn("url", F.concat(F.lit("https://b.example/"),
+                                          F.col("url"))))
+    fresh = (ref.limit(30)
+             .withColumn("url", F.concat(F.lit("https://n.example/"),
+                                         F.col("url")))
+             .withColumn("text", F.md5(F.col("text").cast("binary"))))
+    cat.overwrite("corpus", copies.unionByName(fresh), run_id="ingest")
+
+    main(["cross", "--catalog-root", root, "--run-id", "x1",
+          "--ref", "ref_corpus"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 60
+    assert out["n_flagged"] == 30
+    v = cat.read("cross_verdicts")
+    assert v.count() == 60
+    assert v.where("flagged").count() == 30
