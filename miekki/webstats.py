@@ -331,22 +331,27 @@ def filter_battery_duck_sql(src: str, norm_expr: str = "norm",
 # X23 — line-level dedup (boilerplate removal)
 # =====================================================================
 
-def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Corpus-wide keep-first line dedup → (doc_id, clean_text,
-    n_lines, n_kept). A line survives iff this (doc_id, line-index)
-    is the minimum occurrence of that exact line in the corpus;
-    clean_text is the surviving lines re-joined in original order
-    ('' when every line was seen earlier elsewhere).
+def line_dedup(docs: DataFrame, text_col: str = "text",
+               sep: str = "\n") -> DataFrame:
+    """Corpus-wide keep-first unit dedup → (doc_id, clean_text,
+    n_lines, n_kept). A unit (line by default; see paragraph_dedup)
+    survives iff this (doc_id, unit-index) is the minimum occurrence
+    of that exact unit in the corpus; clean_text is the surviving
+    units re-joined in original order with ``sep`` ('' when every
+    unit was seen earlier elsewhere).
 
     Both shuffles are hot-line-safe (module docstring): min(struct)
     partial-aggregates map-side, and the winner SET needs no join
-    back against the exploded lines.
+    back against the exploded units.
     """
+    import re
+
+    pat = re.escape(sep)
     docs2 = docs.select(
         "doc_id", F.col(text_col).alias("text"),
-        F.size(F.split(text_col, "\n")).alias("n_lines"))
+        F.size(F.split(text_col, pat)).alias("n_lines"))
     lines = docs2.select(
-        "doc_id", F.posexplode(F.split("text", "\n")).alias("idx", "line"))
+        "doc_id", F.posexplode(F.split("text", pat)).alias("idx", "line"))
     winners = (lines
                .groupBy("line")
                .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
@@ -358,7 +363,7 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
                      F.transform(
                          F.array_sort(F.collect_list(F.struct("idx", "line"))),
                          lambda s: s["line"]),
-                     "\n").alias("clean_text")))
+                     sep).alias("clean_text")))
     return (docs2.join(kept, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),
@@ -367,24 +372,34 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     .alias("n_kept")))
 
 
-def line_dedup_duck_sql(src: str) -> str:
+def paragraph_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dolma-style corpus-wide keep-first PARAGRAPH dedup: X23's
+    exact machinery with the blank-line separator. Same schema,
+    same skew-safety, same twin (line_dedup_duck_sql(sep='\\n\\n'))."""
+    return line_dedup(docs, text_col, sep="\n\n")
+
+
+def line_dedup_duck_sql(src: str, sep: str = "\n") -> str:
     """DuckDB twin over ``src`` (subquery/CTE with doc_id, text):
     QUALIFY row_number keeps the (doc_id, idx)-minimal occurrence —
-    an independent formulation of the same keep-first rule."""
+    an independent formulation of the same keep-first rule. ``sep``
+    mirrors line_dedup's (paragraph mode: '\\n\\n')."""
+    s = " || ".join(["chr(10)"] * sep.count("\n")) \
+        if sep and set(sep) == {"\n"} else f"'{sep}'"
     return f"""
 WITH d AS (SELECT doc_id, text,
-                  CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines
+                  CAST(len(str_split(text, {s})) AS BIGINT) AS n_lines
            FROM {src}),
      lines AS (SELECT doc_id, n_lines,
-                      generate_subscripts(str_split(text, chr(10)), 1) AS idx,
-                      unnest(str_split(text, chr(10))) AS line
+                      generate_subscripts(str_split(text, {s}), 1) AS idx,
+                      unnest(str_split(text, {s})) AS line
                FROM d),
      surv AS (SELECT doc_id, idx, line FROM lines
               QUALIFY row_number() OVER (PARTITION BY line
                                          ORDER BY doc_id, idx) = 1),
      kept AS (SELECT doc_id,
                      CAST(count(*) AS BIGINT) AS n_kept,
-                     string_agg(line, chr(10) ORDER BY idx) AS clean_text
+                     string_agg(line, {s} ORDER BY idx) AS clean_text
               FROM surv GROUP BY doc_id)
 SELECT d.doc_id, coalesce(kept.clean_text, '') AS clean_text,
        d.n_lines, coalesce(kept.n_kept, 0) AS n_kept

@@ -347,3 +347,40 @@ def test_pii_and_repetition_stay_map_only(spark):
     plan = (df.select("doc_id", *[c.alias(n) for n, c in every.items()])
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_paragraph_dedup_keep_first_and_twin(spark):
+    """Paragraph mode (X23 with the Dolma unit): blank-line-separated
+    paragraphs dedup corpus-wide keep-first, and the parameterized
+    DuckDB twin reproduces every row."""
+    import duckdb
+
+    from miekki.webstats import line_dedup_duck_sql, paragraph_dedup
+
+    rows = [
+        (1, "intro para\n\nbody text here\n\nfooter para"),
+        (2, "intro para\n\nfresh body\n\nfooter para"),
+        (3, "intro para\n\nfooter para"),      # nothing survives
+        (4, "line one\nline two\n\nbody text here"),  # multi-line para
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["clean_text"] == \
+        "intro para\n\nbody text here\n\nfooter para"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["clean_text"] == "fresh body"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    # the two-line paragraph is ONE unit, distinct from 'body text
+    # here' which doc 1 already claimed
+    assert out[4]["clean_text"] == "line one\nline two"
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (2, 1)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = {r[0]: r for r in con.sql(
+        line_dedup_duck_sql("t", sep="\n\n")).fetchall()}
+    for i in (1, 2, 3, 4):
+        assert duck[i][1] == out[i]["clean_text"], i
+        assert duck[i][2] == out[i]["n_lines"], i
+        assert duck[i][3] == out[i]["n_kept"], i
