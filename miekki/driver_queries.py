@@ -2214,6 +2214,46 @@ _SIG_CONTRACTS = {
     "verify_jaccard": q_verify_jaccard,
     "doc_fingerprint": q_doc_fingerprint,
 }
+def q_dedup_splits_contract(spark, sf_dir):
+    """Dedup-aware split assignment contract (the Lee'22 train-test
+    leakage concern): over the corpus' exact-dup clusters
+    (cluster = min doc_id per md5(norm) group), (a) cluster-keyed
+    split_assign leaks ZERO clusters across splits — structural, every
+    member hashes the same key; (b) doc-keyed assignment leaks at
+    least as many; (c) both assignments cover every doc exactly once.
+    One row of booleans; the oracle pins them true."""
+    from miekki.webstats import split_assign, split_leakage
+
+    docs = _norm_docs(spark, sf_dir)
+    clusters = (docs
+                .select("doc_id", F.md5(F.col("norm").cast("binary"))
+                        .alias("h"))
+                .groupBy("h").agg(F.min("doc_id").alias("cluster_id"),
+                                  F.count(F.lit(1)).alias("n"))
+                .join(docs.select("doc_id", F.md5(
+                    F.col("norm").cast("binary")).alias("h")), "h")
+                .select("doc_id", "cluster_id"))
+    n_docs = docs.count()
+
+    # split_assign returns (doc_id, split); rejoin cluster_id
+    by_cluster = (split_assign(clusters, key_col="cluster_id")
+                  .join(clusters, "doc_id"))
+    by_doc = (split_assign(clusters.withColumn(
+        "k", F.col("doc_id").cast("string")), key_col="k")
+        .join(clusters, "doc_id"))
+    leak_c = (split_leakage(by_cluster)
+              .agg(F.sum(F.col("leaky").cast("long"))).first()[0])
+    leak_d = (split_leakage(by_doc)
+              .agg(F.sum(F.col("leaky").cast("long"))).first()[0])
+    cov_c = by_cluster.count()
+    cov_d = by_doc.count()
+    return spark.createDataFrame(
+        [(bool(leak_c == 0), bool(leak_d >= leak_c),
+          bool(cov_c == n_docs and cov_d == n_docs))],
+        "cluster_keyed_zero_leak boolean, doc_keyed_not_better boolean,"
+        " coverage_ok boolean")
+
+
 def q_cross_contract(spark, sf_dir):
     """X47 — cross-corpus near-dup flagging contract: corpus A = the
     fixture signatures; corpus B = 40 verbatim copies of the
@@ -2300,6 +2340,7 @@ _PIPELINE_CONTRACTS = {
     "simhash_sorted": q_simhash_sorted,
     "bpe_tokenize": q_bpe_contract,
     "cross_dedup": q_cross_contract,
+    "dedup_splits": q_dedup_splits_contract,
 }
 _EMBED_MEDIA_SUITE = {
     "ann_lsh": q_ann_lsh,

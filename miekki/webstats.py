@@ -534,6 +534,21 @@ def _split_bounds(weights, buckets: int) -> list[int]:
     return bounds
 
 
+def split_leakage(labeled_splits: DataFrame) -> DataFrame:
+    """Dedup-aware split audit (Lee'22's train-test-leakage concern):
+    per dup cluster, does the cluster span more than one split?
+    Input: (doc_id, cluster_id, split). Output: (cluster_id,
+    n_members, n_splits, leaky). Keying split_assign on CLUSTER_ID
+    instead of url/doc_id makes leakage structurally zero — every
+    member hashes the same key — which is the fix this audit
+    motivates. ONE partial-aggregated groupBy; count_distinct over
+    ≤ |splits| values per cluster collapses map-side."""
+    return (labeled_splits.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.count_distinct("split").alias("n_splits"))
+            .withColumn("leaky", F.col("n_splits") > 1))
+
+
 def split_assign_duck_sql(src: str, rank_expr: str,
                           weights: tuple[tuple[str, float], ...] = (
                               ("train", 0.98), ("val", 0.01),

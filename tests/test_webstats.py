@@ -384,3 +384,30 @@ def test_paragraph_dedup_keep_first_and_twin(spark):
         assert duck[i][1] == out[i]["clean_text"], i
         assert duck[i][2] == out[i]["n_lines"], i
         assert duck[i][3] == out[i]["n_kept"], i
+
+
+def test_split_leakage_cluster_keyed_is_zero(spark):
+    """Cluster-keyed split assignment can never split a dup cluster
+    across train/val/test; doc-keyed assignment on the same clusters
+    leaks (planted multi-member clusters with many members make it
+    overwhelming)."""
+    from miekki.webstats import split_assign, split_leakage
+
+    # 50 clusters x 8 members
+    rows = [(c * 100 + m, c) for c in range(50) for m in range(8)]
+    clusters = spark.createDataFrame(rows, ["doc_id", "cluster_id"])
+    weights = (("train", 0.5), ("val", 0.25), ("test", 0.25))
+
+    by_cluster = (split_assign(clusters, weights=weights,
+                               key_col="cluster_id")
+                  .join(clusters, "doc_id"))
+    audit_c = split_leakage(by_cluster).toPandas()
+    assert not audit_c["leaky"].any()
+    assert (audit_c["n_members"] == 8).all()
+
+    by_doc = (split_assign(
+        clusters.withColumn("k", clusters["doc_id"].cast("string")),
+        weights=weights, key_col="k")
+        .join(clusters, "doc_id"))
+    audit_d = split_leakage(by_doc).toPandas()
+    assert audit_d["leaky"].sum() > 25   # 8 draws across 3 splits
