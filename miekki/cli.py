@@ -343,10 +343,17 @@ def cmd_curate(args):
     final_ids = mixed.where(F.col("kept")).select("doc_id")
     weights = tuple((kv.split("=")[0], float(kv.split("=")[1]))
                     for kv in args.splits.split(",") if kv)
+    # --split-by cluster: dedup-aware eval hygiene (every member of a
+    # dup cluster hashes the same key, so near-dups can never straddle
+    # train/val — the split_leakage audit's fix). url stays the
+    # default for append-stability of historical runs.
+    split_src = (labels.select("doc_id", F.col("cluster_id")
+                               .cast("string").alias("__sk"))
+                 if args.split_by == "cluster"
+                 else labels.select("doc_id", F.col("url").alias("__sk")))
     final = (labels.join(final_ids, "doc_id", "left_semi")
-             .join(split_assign(
-                 labels.select("doc_id", "url"), weights=weights,
-                 key_col="url"), "doc_id")
+             .join(split_assign(split_src, weights=weights,
+                                key_col="__sk"), "doc_id")
              .join(cat.read("doc_tiers"), "doc_id")
              # read the PERSISTED corpus_kept, not the `kept` plan:
              # the plan would re-scan the raw corpus, re-hash every
@@ -527,6 +534,11 @@ def main(argv=None):
     pc.add_argument("--corpus", default="corpus")
     pc.add_argument("--langs", default="en")
     pc.add_argument("--cluster-cap", type=int, default=4)
+    pc.add_argument("--split-by", choices=["url", "cluster"],
+                    default="url",
+                    help="split-assignment key; 'cluster' keeps every"
+                         " dup cluster inside one split (zero"
+                         " train/val near-dup leakage)")
     pc.add_argument("--url-dedup", action="store_true",
                     help="collapse re-crawls by canonical URL (X46)"
                          " before the filter battery; writes"

@@ -295,3 +295,28 @@ def test_cli_cross_verdicts(spark, corpus_df, tmp_path_factory, capsys):
     v = cat.read("cross_verdicts")
     assert v.count() == 60
     assert v.where("flagged").count() == 30
+
+
+def test_cli_curate_split_by_cluster_zero_leakage(spark, corpus_df,
+                                                  tmp_path_factory,
+                                                  capsys):
+    """--split-by cluster: no dup cluster straddles splits in the
+    curated output."""
+    from pyspark.sql import functions as F
+
+    from miekki.webstats import split_leakage
+
+    root = str(tmp_path_factory.mktemp("cli_splitby"))
+    cat = HadoopCatalog(spark, root)
+    cat.overwrite("corpus", corpus_df.limit(300), run_id="ingest")
+
+    main(["curate", "--catalog-root", root, "--run-id", "sb1",
+          "--langs", "en,fr,es,zh,de", "--split-by", "cluster",
+          "--cluster-cap", "99", "--mix", "en=1.0",
+          "--default-rate", "1.0",
+          "--splits", "train=0.6,val=0.2,test=0.2"])
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    cur = cat.read("curated").select("doc_id", "cluster_id", "split")
+    audit = split_leakage(cur).toPandas()
+    assert not audit["leaky"].any()
