@@ -204,6 +204,35 @@ def hll_vocab(docs: DataFrame, norm_col: str = "norm",
                 f"abs(est_distinct / n_tokens - 1.0) <= {repr(tol)}")))
 
 
+def hll_update_state(cat, table: str, batch: DataFrame, col: str,
+                     group_cols: Sequence[str] = (),
+                     p: int = HLL_P_DEFAULT,
+                     hash_fn: str = "xxhash64",
+                     run_id: str = "hll-0") -> None:
+    """Incremental sketch maintenance for the streaming path: merge
+    one micro-batch's registers into a persistent register table
+    (X14's foreachBatch shape — call per batch; read the table with
+    hll_estimate whenever a live distinct-count is wanted).
+
+    The merge algebra is what makes this O(batch + state) with state
+    ≤ m·|groups| rows FOREVER: register-wise max of (previous state,
+    batch registers) == the registers of everything ever ingested —
+    no reprocessing, no growth, and an idempotent-on-replay upper
+    bound (re-merging the same batch is a no-op, so at-least-once
+    delivery never inflates the estimate).
+
+    ``run_id`` must be UNIQUE per batch (the X14 convention: pass the
+    batch sequence number) — the catalog keys each overwrite
+    generation's directory by run_id, and reusing one id would
+    rewrite the directory a live reader may still have file-listed."""
+    regs = hll_registers(batch, col, group_cols, p, hash_fn)
+    if cat.exists(table):
+        regs = hll_merge(cat.read(table), regs)
+    # localCheckpoint: the merged frame reads the table it is about
+    # to replace — materialize before the overwrite swaps the files
+    cat.overwrite(table, regs.localCheckpoint(), run_id=run_id)
+
+
 # =====================================================================
 # X44 — Count-Min Sketch: frequency estimates / heavy hitters with
 # bounded, mergeable state (Cormode & Muthukrishnan '05)

@@ -348,3 +348,37 @@ def test_cms_plan_single_exchange_build_no_window_no_python(spark):
     assert plan.count("HashAggregate") >= 2, plan   # partial+final
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_update_state_incremental_equals_batch(spark, tmp_path):
+    """Three micro-batches merged through the persistent state table
+    equal the one-shot build over their concatenation; replaying a
+    batch is a no-op (at-least-once safety); state stays <= m rows."""
+    from miekki.catalog import HadoopCatalog
+    from miekki.sketches import hll_update_state
+
+    cat = HadoopCatalog(spark, str(tmp_path / "hllcat"))
+    batches = [_vals(spark, 4000, "s0"),
+               _vals(spark, 3000, "s1"),
+               _vals(spark, 2000, "s0")]      # overlaps batch 0
+    for i, b in enumerate(batches):
+        hll_update_state(cat, "hll_state", b, "v", run_id=f"b{i}")
+    state = cat.read("hll_state")
+    direct = hll_registers(
+        batches[0].unionByName(batches[1]).unionByName(batches[2]), "v")
+    assert state.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(state).isEmpty()
+    assert state.count() <= 4096
+
+    # replay batch 1: state must not change
+    hll_update_state(cat, "hll_state", batches[1], "v", run_id="b9")
+    replayed = cat.read("hll_state")
+    assert replayed.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(replayed).isEmpty()
+
+    # the live estimate tracks the true union cardinality (7000:
+    # s0-0..3999 + s1-0..2999, batch 2 fully overlaps batch 0).
+    # NB read the CURRENT generation — `state` above still points at
+    # the file generation the replay's overwrite swept
+    est = hll_estimate(replayed).collect()[0]["est_distinct"]
+    assert abs(est / 7000 - 1.0) <= 5 * hll_rel_err(12)

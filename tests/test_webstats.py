@@ -411,3 +411,36 @@ def test_split_leakage_cluster_keyed_is_zero(spark):
         .join(clusters, "doc_id"))
     audit_d = split_leakage(by_doc).toPandas()
     assert audit_d["leaky"].sum() > 25   # 8 draws across 3 splits
+
+
+def test_zip_word_grams_matches_python_reference(spark):
+    """The zip_with gram builder (exprs.zip_word_grams — shared by
+    repetition, decontam, Bloom, DSIR features) equals the obvious
+    Python n-gram construction on randomized word arrays, including
+    empty/short docs and repeated words."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from miekki.exprs import zip_word_grams
+
+    rng = random.Random(11)
+    docs = []
+    for i in range(200):
+        n_words = rng.choice([0, 1, 2, 3, rng.randrange(4, 40)])
+        docs.append((i, " ".join(
+            f"w{rng.randrange(8)}" for _ in range(n_words))))
+    df = spark.createDataFrame(docs, ["doc_id", "norm"])
+
+    def py_grams(text, n):
+        ws = text.split(" ")
+        if len(ws) < n:
+            return [" ".join(ws)]
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+    for n in (2, 3, 5):
+        got = {r["doc_id"]: r["g"] for r in df.select(
+            "doc_id", zip_word_grams(F.split("norm", " "), n)
+            .alias("g")).collect()}
+        for doc_id, text in docs:
+            assert got[doc_id] == py_grams(text, n), (doc_id, n, text)
