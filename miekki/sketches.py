@@ -327,6 +327,45 @@ def cms_probe(sketch: DataFrame, items: DataFrame, col: str,
                  .alias("cms_est")))
 
 
+def cms_update_state(cat, table: str, batch: DataFrame, col: str,
+                     bseq: int, group_cols: Sequence[str] = (),
+                     d: int = CMS_D_DEFAULT, wp: int = CMS_WP_DEFAULT,
+                     hash_fn: str = "xxhash64") -> bool:
+    """Incremental CMS maintenance — the frequency counterpart of
+    hll_update_state, with one semantic difference that changes the
+    protocol: register-max (HLL) is idempotent under replay, cell-SUM
+    is NOT — re-adding a batch double-counts. So updates carry a
+    monotone batch sequence number and the state table stores the
+    last applied bseq in a rider row (row_idx = -1); a stale or
+    repeated bseq is SKIPPED (returns False) — exactly-once semantics
+    from at-least-once delivery, the X14 compaction convention.
+
+    State stays ≤ d·2^wp cells per group + 1 rider row; per-batch
+    cost O(batch + state)."""
+    applied = -1
+    if cat.exists(table):
+        prev = cat.read(table)
+        row = (prev.where(F.col("row_idx") == -1)
+               .agg(F.max("cnt")).first()[0])
+        applied = -1 if row is None else int(row)
+        if bseq <= applied:
+            return False
+        sketch = cms_merge(
+            prev.where(F.col("row_idx") >= 0),
+            cms_build(batch, col, group_cols, d, wp, hash_fn))
+    else:
+        sketch = cms_build(batch, col, group_cols, d, wp, hash_fn)
+    rider = sketch.sparkSession.createDataFrame(
+        [(-1, -1, bseq)], "row_idx int, col_idx int, cnt long")
+    if group_cols:
+        for g in group_cols:
+            rider = rider.withColumn(g, F.lit(None).cast("string"))
+        rider = rider.select(*sketch.columns)
+    cat.overwrite(table, sketch.unionByName(rider).localCheckpoint(),
+                  run_id=f"cms-{bseq}")
+    return True
+
+
 def cms_vocab(docs: DataFrame, norm_col: str = "norm", k: int = 100,
               d: int = CMS_D_DEFAULT, wp: int = CMS_WP_DEFAULT,
               hash_fn: str = "xxhash64") -> DataFrame:

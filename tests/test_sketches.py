@@ -382,3 +382,28 @@ def test_hll_update_state_incremental_equals_batch(spark, tmp_path):
     # the file generation the replay's overwrite swept
     est = hll_estimate(replayed).collect()[0]["est_distinct"]
     assert abs(est / 7000 - 1.0) <= 5 * hll_rel_err(12)
+
+
+def test_cms_update_state_exactly_once(spark, tmp_path):
+    """Cell-sum is not replay-idempotent, so the state update is
+    bseq-gated: in-order batches apply, a replayed or stale bseq is
+    skipped, and the final cells equal the one-shot build over the
+    applied batches only."""
+    from miekki.catalog import HadoopCatalog
+    from miekki.sketches import cms_update_state
+
+    cat = HadoopCatalog(spark, str(tmp_path / "cmscat"))
+    b0, b1 = _zipf_tokens(spark), _vals(spark, 3000, "c")
+    assert cms_update_state(cat, "cms_state", b0, "v", bseq=1)
+    assert cms_update_state(cat, "cms_state", b1, "v", bseq=2)
+    # replay of bseq 2 and a stale bseq 1: both skipped
+    assert not cms_update_state(cat, "cms_state", b1, "v", bseq=2)
+    assert not cms_update_state(cat, "cms_state", b0, "v", bseq=1)
+
+    state = cat.read("cms_state")
+    cells = state.where(F.col("row_idx") >= 0)
+    direct = cms_build(b0.unionByName(b1), "v")
+    assert cells.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(cells).isEmpty()
+    # the rider row records the last applied bseq
+    assert state.where("row_idx = -1").first()["cnt"] == 2
