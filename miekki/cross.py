@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from miekki.config import DedupConfig
 from miekki.stages.lsh import band_table
-from miekki.stages.verify import EST_J
+from miekki.stages.verify import est_j_matches_sql
 
 CROSS_REP_SALTS = 16
 
@@ -81,7 +81,8 @@ def cross_dedup(sigs_b: DataFrame, sigs_a: DataFrame,
                        F.col("minhash").alias("mh_src"))
     sb = sigs_b.select(F.col("doc_id").alias("b_id"),
                        F.col("minhash").alias("mh_dst"))
-    est = (F.expr(EST_J) / F.lit(float(cfg.n_perm))).alias("est_j")
+    est = (F.expr(est_j_matches_sql(cfg.n_perm))
+           / F.lit(float(cfg.n_perm))).alias("est_j")
     scored = (cand.join(sb, "b_id").join(sa, "a_id")
               .select("b_id", "a_id", est))
     best = (scored.groupBy("b_id")

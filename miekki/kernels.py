@@ -324,12 +324,58 @@ def _utf8_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 def make_text_signature_kernel(cfg: DedupConfig):
     """mapInArrow: (doc_id, norm_text) batches → (doc_id,
     minhash[n_perm], simhash, n_shingles) — shingling, hashing,
-    distinct, and both sketches fused into one numpy pass."""
+    distinct, and both sketches fused into one pass.
+
+    Two bit-identical engines (parity pinned in tests/test_native.py):
+    the compiled C kernel (miekki/_sigkernel.c via miekki/native.py —
+    r6: ~5x the numpy pass, which spent ~55% in window gathers +
+    lexsort and ~40% in 128 full-buffer permutation passes) and the
+    numpy fallback below (no gcc / MIEKKI_NATIVE=0)."""
     n_perm = cfg.n_perm
     k = cfg.shingle_k
     a, b = perm_coeffs(n_perm, cfg.perm_seed)
 
+    def native_kernel(batches: Iterator[pa.RecordBatch], lib
+                      ) -> Iterator[pa.RecordBatch]:
+        import ctypes
+        a_c = np.ascontiguousarray(a)
+        b_c = np.ascontiguousarray(b)
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            data, rel = _utf8_view(batch.column("norm_text"))
+            data = np.ascontiguousarray(data)
+            rel = np.ascontiguousarray(rel)
+            n_rows = len(rel) - 1
+            sig = np.empty(n_rows * n_perm, dtype=np.int64)
+            fp = np.empty(n_rows, dtype=np.int64)
+            n_sh = np.empty(n_rows, dtype=np.int32)
+            rc = lib.sig_kernel(
+                data.ctypes.data_as(ctypes.c_void_p),
+                rel.ctypes.data_as(ctypes.c_void_p),
+                n_rows, k,
+                a_c.ctypes.data_as(ctypes.c_void_p),
+                b_c.ctypes.data_as(ctypes.c_void_p),
+                n_perm,
+                sig.ctypes.data_as(ctypes.c_void_p),
+                fp.ctypes.data_as(ctypes.c_void_p),
+                n_sh.ctypes.data_as(ctypes.c_void_p))
+            if rc != 0:  # pragma: no cover
+                raise MemoryError(f"sig_kernel failed rc={rc}")
+            mh = pa.ListArray.from_arrays(
+                pa.array(np.arange(n_rows + 1, dtype=np.int32) * n_perm),
+                pa.array(sig))
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, mh, pa.array(fp), pa.array(n_sh)],
+                names=["doc_id", "minhash", "simhash", "n_shingles"])
+
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        if n_perm <= 256:            # C kernel's per-row min buffer
+            from miekki import native
+
+            lib = native.load()
+            if lib is not None:
+                yield from native_kernel(batches, lib)
+                return
         scratch = np.empty(_MAX_CHUNK_VALUES, dtype=np.uint64)
         for batch in batches:
             doc_id = batch.column("doc_id")

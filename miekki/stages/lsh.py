@@ -27,12 +27,21 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """T2 → T3 (doc_id, band_id, band_hash, salt).
 
     band_hash = hash(band_id, sig[r*b], ..., sig[r*b+r-1]) — computed
-    inside one JVM transform+posexplode, no Python."""
+    inside one JVM projection+posexplode, no Python.
+
+    r6: the band array is built from ``bands`` literal-index hash
+    expressions instead of ``transform(sequence(...), b -> ...)``.
+    Identical values (the lambda's b is now a folded literal per
+    element), but lambda HOFs are CodegenFallback — a per-row
+    interpreted eval with boxed Longs inside the codegen'd projection
+    — while the unrolled array is pure whole-stage codegen (guide
+    §4.1; measured 2.4x on this projection at mult=16)."""
     r = cfg.rows_per_band
-    h = hash_multi_sql(
-        ["cast(b as bigint)"] + [f"minhash[b*{r}+{j}]" for j in range(r)], cfg
-    )
-    bands = F.expr(f"transform(sequence(0, {cfg.bands - 1}), b -> {h})")
+    bands = F.array(*[
+        F.expr(hash_multi_sql(
+            [f"cast({bi} as bigint)"]
+            + [f"minhash[{bi * r + j}]" for j in range(r)], cfg))
+        for bi in range(cfg.bands)])
     out = signatures.select("doc_id", F.posexplode(bands).alias("band_id", "band_hash"))
     # salt is a pure function of doc_id: it only partitions work,
     # never changes cluster output (SURVEY.md §2.4)
@@ -158,12 +167,21 @@ def lsh_plan(spark, n_perm: int = 128, threshold: float = 0.5,
                                 F.lit(1.0) - F.col("q"))).alias("fp"),
                    F.avg(F.when(F.col("s") >= threshold,
                                 F.col("q"))).alias("fn")))
-    w = Window.orderBy((F.col("fp") + F.col("fn")).asc(), F.col("b").asc())
-    return (scored
+    # chosen = argmin(fp+fn, tie -> smaller b) via a 1-row min-struct
+    # aggregate broadcast back — NOT row_number over an unpartitioned
+    # Window (that plan moves the frame to a single partition and
+    # warns on every run, VERDICT r5 wrong #2). b is unique per plan
+    # row so (fp+fn, b) has a unique minimum: identical output.
+    best = scored.agg(F.min(F.struct(
+        (F.col("fp") + F.col("fn")).alias("score"),
+        F.col("b").alias("b"))).alias("__best"))
+    return (scored.crossJoin(F.broadcast(best))
             .select("b", "r",
                     F.round("fp", 6).alias("fp_mass"),
                     F.round("fn", 6).alias("fn_mass"),
-                    (F.row_number().over(w) == 1).alias("chosen")))
+                    (F.struct((F.col("fp") + F.col("fn")).alias("score"),
+                              F.col("b").alias("b"))
+                     == F.col("__best")).alias("chosen")))
 
 
 def lsh_plan_duck_sql(n_perm: int = 128, threshold: float = 0.5,

@@ -24,10 +24,14 @@ from miekki.config import DedupConfig
 def _block_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     width = cfg.simhash_bits // cfg.simhash_blocks
     mask = (1 << width) - 1
-    blocks = F.expr(
-        f"transform(sequence(0, {cfg.simhash_blocks - 1}),"
-        f" j -> cast(shiftrightunsigned(simhash, j * {width}) & {mask} as int))"
-    )
+    # unrolled literal-index array, not transform(sequence(...)):
+    # lambda HOFs are CodegenFallback (interpreted per row); the
+    # unrolled form stays in whole-stage codegen (guide §4.1, same
+    # rewrite as lsh.band_table)
+    blocks = F.array(*[
+        F.expr(f"cast(shiftrightunsigned(simhash, {j * width})"
+               f" & {mask} as int)")
+        for j in range(cfg.simhash_blocks)])
     return (signatures
             .select("doc_id", F.posexplode(blocks).alias("block_id", "block_val"))
             .withColumn("salt", F.pmod(F.xxhash64("doc_id"),

@@ -16,6 +16,18 @@ from miekki.config import DedupConfig
 EST_J = "aggregate(zip_with(mh_src, mh_dst, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
 
 
+def est_j_matches_sql(n_perm: int) -> str:
+    """Positionwise-equality count of two n_perm-long minhash arrays —
+    the same integer EST_J computes, as an unrolled codegen'd sum.
+    zip_with/aggregate lambdas are CodegenFallback (interpreted per
+    row, boxed); the unrolled form is straight-line whole-stage
+    codegen over the unsafe array words (guide §4.1). Kernel-produced
+    signatures always carry exactly n_perm non-null elements, so the
+    two forms are value-identical (pinned in tests/test_spark_stages)."""
+    return "(" + " + ".join(
+        f"if(mh_src[{i}] = mh_dst[{i}], 1, 0)" for i in range(n_perm)) + ")"
+
+
 def verify_edges(edges: DataFrame, signatures: DataFrame, cfg: DedupConfig,
                  origin: str = "minhash") -> DataFrame:
     """(src, dst) ⋈ T2 twice → keep est_J >= tau; weight = est_J.
@@ -25,7 +37,7 @@ def verify_edges(edges: DataFrame, signatures: DataFrame, cfg: DedupConfig,
     joins shuffle-free (SURVEY.md §4.5)."""
     s = signatures.select(F.col("doc_id").alias("src"), F.col("minhash").alias("mh_src"))
     d = signatures.select(F.col("doc_id").alias("dst"), F.col("minhash").alias("mh_dst"))
-    est = F.expr(EST_J) / F.lit(float(cfg.n_perm))
+    est = F.expr(est_j_matches_sql(cfg.n_perm)) / F.lit(float(cfg.n_perm))
     return (edges.join(s, "src").join(d, "dst")
             .withColumn("weight", est)
             .where(F.col("weight") >= cfg.tau)
