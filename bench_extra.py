@@ -59,6 +59,8 @@ def main():
     from miekki.stages.signatures import signatures_from_text
     from miekki.stages.simhash import simhash_candidate_edges
     from miekki.stages.substr import substr_candidate_edges
+    from miekki.stages.substr import anchor_table as _anchor_table
+    from miekki.stages.substr import candidate_anchor_pairs as _cand_pairs
     from miekki.stages.verify import verify_edges
 
     cfg = DedupConfig()
@@ -101,6 +103,9 @@ def main():
             "verify": lambda: verify_edges(cand_ck, sigs, cfg),
             "simhash": lambda: simhash_candidate_edges(sigs, cfg),
             "substr": lambda: substr_candidate_edges(docs, cfg),
+            "substr_anchors": lambda: _anchor_table(docs, cfg),
+            "substr_pairs": lambda: _cand_pairs(
+                _anchor_table(docs, cfg), cfg),
             "cc": lambda: cc_labels(pairs_ck, docs_ids),
             "canonical": lambda: select_canonical(
                 labels_ck, _doc_meta(docs, corpus)),

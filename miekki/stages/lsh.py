@@ -27,21 +27,20 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """T2 → T3 (doc_id, band_id, band_hash, salt).
 
     band_hash = hash(band_id, sig[r*b], ..., sig[r*b+r-1]) — computed
-    inside one JVM projection+posexplode, no Python.
+    inside one JVM transform+posexplode, no Python.
 
-    r6: the band array is built from ``bands`` literal-index hash
-    expressions instead of ``transform(sequence(...), b -> ...)``.
-    Identical values (the lambda's b is now a folded literal per
-    element), but lambda HOFs are CodegenFallback — a per-row
-    interpreted eval with boxed Longs inside the codegen'd projection
-    — while the unrolled array is pure whole-stage codegen (guide
-    §4.1; measured 2.4x on this projection at mult=16)."""
+    Kept as a lambda HOF deliberately (r6): unrolling the array into
+    32 literal-index xxhash64 expressions (guide §4.1's usual cure
+    for CodegenFallback lambdas) measured 5x SLOWER here (0.4 s →
+    2.0 s noop at mult=16) — 32 hashes x 4 array reads per row blow
+    the generated method past JIT limits, while the interpreted
+    transform loop is a tight per-element eval. The same unroll DID
+    win for repetition_columns' grams (r5); measure per site."""
     r = cfg.rows_per_band
-    bands = F.array(*[
-        F.expr(hash_multi_sql(
-            [f"cast({bi} as bigint)"]
-            + [f"minhash[{bi * r + j}]" for j in range(r)], cfg))
-        for bi in range(cfg.bands)])
+    h = hash_multi_sql(
+        ["cast(b as bigint)"] + [f"minhash[b*{r}+{j}]" for j in range(r)], cfg
+    )
+    bands = F.expr(f"transform(sequence(0, {cfg.bands - 1}), b -> {h})")
     out = signatures.select("doc_id", F.posexplode(bands).alias("band_id", "band_hash"))
     # salt is a pure function of doc_id: it only partitions work,
     # never changes cluster output (SURVEY.md §2.4)

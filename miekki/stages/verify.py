@@ -18,14 +18,13 @@ EST_J = "aggregate(zip_with(mh_src, mh_dst, (x, y) -> if(x = y, 1, 0)), 0, (acc,
 
 def est_j_matches_sql(n_perm: int) -> str:
     """Positionwise-equality count of two n_perm-long minhash arrays —
-    the same integer EST_J computes, as an unrolled codegen'd sum.
-    zip_with/aggregate lambdas are CodegenFallback (interpreted per
-    row, boxed); the unrolled form is straight-line whole-stage
-    codegen over the unsafe array words (guide §4.1). Kernel-produced
-    signatures always carry exactly n_perm non-null elements, so the
-    two forms are value-identical (pinned in tests/test_spark_stages)."""
-    return "(" + " + ".join(
-        f"if(mh_src[{i}] = mh_dst[{i}], 1, 0)" for i in range(n_perm)) + ")"
+    value-identical to EST_J (kernel signatures always carry exactly
+    n_perm non-null elements). Kept as the aggregate/zip_with HOF:
+    unrolling into n_perm if() terms (guide §4.1's CodegenFallback
+    cure) measured 3x SLOWER on the verify join at mult=16 (1.5 s →
+    4.7 s noop) — the 128-term tree blows the generated method past
+    JIT limits. Measure per site before unrolling lambdas."""
+    return EST_J
 
 
 def verify_edges(edges: DataFrame, signatures: DataFrame, cfg: DedupConfig,
