@@ -243,3 +243,99 @@ int sig_kernel(const uint8_t *data, const int64_t *offsets, int64_t n_rows,
 uint64_t xxh64_one(const uint8_t *p, int64_t len, uint64_t seed) {
     return xxh64(p, len, seed);
 }
+
+/* ------------------------------------------------------------------ */
+/* Winnowing anchor kernel — C twin of substr_kernels.batch_doc_anchors
+ * (bit-parity pinned in tests/test_native.py). Pinned semantics:
+ * rolling polynomial hash H_i = fmix64(sum_{t<k} d[i+t]*B^t) with
+ * uint64 wraparound; per doc select the LEFTMOST argmin of every
+ * w-window of hashes (deduped), or the single leftmost argmin when a
+ * doc has <= w hashes; docs shorter than k bytes yield nothing.
+ *
+ * One pass per doc: O(1) rolling update
+ * (h' = (h - d[i])*B^-1 + d[i+k]*B^(k-1)) + monotonic-deque sliding
+ * minimum (pop-while-strictly-greater keeps ties -> leftmost; the
+ * leftmost-min index is non-decreasing over sliding windows, so
+ * emit-on-change == the numpy path's global unique). Replaces ~35
+ * full-array numpy passes (prefix products, span-doubling argmin,
+ * reduceat short-doc path).                                           */
+
+#define ROLL_B    1099511628211ULL            /* FNV64 prime (odd)     */
+#define ROLL_BINV 0xCE965057AFF6957BULL       /* B^-1 mod 2^64         */
+#define MIX1 0xC2B2AE3D27D4EB4FULL
+#define MIX2 0x165667B19E3779F9ULL
+
+static inline uint64_t fmix64(uint64_t h) {
+    h ^= h >> 33;
+    h *= MIX1;
+    h ^= h >> 29;
+    h *= MIX2;
+    h ^= h >> 32;
+    return h;
+}
+
+/* rows/fps/pos sized by the caller to >= total window count.
+ * Returns the number of anchors written, or -1 on alloc failure. */
+int64_t anchor_kernel(const uint8_t *data, const int64_t *offsets,
+                      int64_t n_rows, int k, int w,
+                      int64_t *rows_out, int64_t *fps_out,
+                      int32_t *pos_out) {
+    /* B^(k-1) */
+    uint64_t bk1 = 1;
+    for (int t = 0; t < k - 1; t++) bk1 *= ROLL_B;
+
+    int64_t max_h = 0;
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t nh = (offsets[r + 1] - offsets[r]) - k + 1;
+        if (nh > max_h) max_h = nh;
+    }
+    uint64_t *hbuf = malloc(sizeof(uint64_t) * (max_h > 0 ? max_h : 1));
+    /* linear (non-circular) deque: tail index can reach nh */
+    int64_t *deq = malloc(sizeof(int64_t) * (max_h > 0 ? max_h : 1));
+    if (!hbuf || !deq) { free(hbuf); free(deq); return -1; }
+
+    int64_t out = 0;
+    for (int64_t r = 0; r < n_rows; r++) {
+        const uint8_t *d = data + offsets[r];
+        const int64_t nh = (offsets[r + 1] - offsets[r]) - k + 1;
+        if (nh <= 0) continue;
+        /* rolling pre-mix hash scalar; hbuf holds POST-mix values
+         * (what winnowing argmins over and what fp reports) */
+        uint64_t h = 0, p = 1;
+        for (int t = 0; t < k; t++) { h += (uint64_t)d[t] * p; p *= ROLL_B; }
+        hbuf[0] = fmix64(h);
+        for (int64_t i = 1; i < nh; i++) {
+            h = (h - (uint64_t)d[i - 1]) * ROLL_BINV
+                + (uint64_t)d[i + k - 1] * bk1;
+            hbuf[i] = fmix64(h);
+        }
+        if (nh <= w) {
+            int64_t best = 0;
+            for (int64_t i = 1; i < nh; i++)
+                if (hbuf[i] < hbuf[best]) best = i;
+            rows_out[out] = r;
+            fps_out[out] = (int64_t)hbuf[best];
+            pos_out[out] = (int32_t)best;
+            out++;
+            continue;
+        }
+        /* sliding-window leftmost minimum */
+        int64_t head = 0, tail = 0;   /* deq[head..tail) holds indices */
+        int64_t last_emitted = -1;
+        for (int64_t i = 0; i < nh; i++) {
+            uint64_t v = hbuf[i];
+            while (tail > head && hbuf[deq[tail - 1]] > v) tail--;
+            deq[tail++] = i;
+            if (deq[head] <= i - w) head++;
+            if (i >= w - 1 && deq[head] != last_emitted) {
+                last_emitted = deq[head];
+                rows_out[out] = r;
+                fps_out[out] = (int64_t)hbuf[last_emitted];
+                pos_out[out] = (int32_t)last_emitted;
+                out++;
+            }
+        }
+    }
+    free(hbuf); free(deq);
+    return out;
+}

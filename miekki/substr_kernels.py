@@ -131,13 +131,47 @@ def doc_anchors(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
     return h[pos].view(np.int64), pos.astype(np.int32)
 
 
+def _batch_doc_anchors_native(data: np.ndarray, offs: np.ndarray,
+                              k: int, w: int, lib
+                              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """C fast path (miekki/_sigkernel.c anchor_kernel): one rolling-
+    hash + monotonic-deque pass per doc, same (row, fp, pos) triples
+    in the same order as the numpy path below (r6; parity pinned in
+    tests/test_native.py — the numpy path's ~35 full-array passes
+    measured ~10x slower single-core)."""
+    import ctypes
+
+    n_rows = len(offs) - 1
+    total_h = int(np.maximum(np.diff(offs) - (k - 1), 0).sum())
+    if n_rows == 0 or total_h == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), np.empty(0, dtype=np.int32)
+    data_c = np.ascontiguousarray(data)
+    offs_c = np.ascontiguousarray(offs, dtype=np.int64)
+    rows = np.empty(total_h, dtype=np.int64)
+    fps = np.empty(total_h, dtype=np.int64)
+    pos = np.empty(total_h, dtype=np.int32)
+    n = lib.anchor_kernel(
+        data_c.ctypes.data_as(ctypes.c_void_p),
+        offs_c.ctypes.data_as(ctypes.c_void_p),
+        n_rows, k, w,
+        rows.ctypes.data_as(ctypes.c_void_p),
+        fps.ctypes.data_as(ctypes.c_void_p),
+        pos.ctypes.data_as(ctypes.c_void_p))
+    if n < 0:  # pragma: no cover
+        raise MemoryError("anchor_kernel allocation failed")
+    return rows[:n].copy(), fps[:n].copy(), pos[:n].copy()
+
+
 def batch_doc_anchors(data: np.ndarray, offs: np.ndarray, k: int, w: int
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized doc_anchors over a whole Arrow batch: ``data`` is the
     flat uint8 bytes of all docs, ``offs`` the per-doc byte offsets
     (len = n_docs + 1). Returns (row_idx int64, fp int64, pos int32)
     — bit-identical to doc_anchors per doc (pinned by
-    tests/test_substr.py::test_batch_anchor_parity).
+    tests/test_substr.py::test_batch_anchor_parity). Dispatches to the
+    compiled C pass when available (miekki/native.py), else runs the
+    numpy span-doubling path below.
 
     Why the flat computation is EXACT and not an approximation: with
     S[i] = Σ_{t<i} data[t]·B^t over the concatenated bytes, a doc at
@@ -146,6 +180,11 @@ def batch_doc_anchors(data: np.ndarray, offs: np.ndarray, k: int, w: int
     computes; global exponents cancel. Only windows that would cross a
     doc boundary must be masked out, and winnowing windows are
     selected per doc so they never straddle one."""
+    from miekki import native
+
+    lib = native.load()
+    if lib is not None:
+        return _batch_doc_anchors_native(data, offs, k, w, lib)
     n = len(data)
     n_docs = len(offs) - 1
     if n < k:

@@ -75,6 +75,43 @@ def test_native_parity_sliced_batch():
 
 
 @needs_native
+def test_native_anchor_parity():
+    from miekki.config import DedupConfig
+    from miekki.substr_kernels import batch_doc_anchors
+
+    cfg = DedupConfig()
+    k, w = cfg.anchor_k, cfg.winnow_w
+    rng = np.random.Generator(np.random.PCG64(5))
+    words = rng.integers(0, 9999, size=300 * 60)
+    texts = [" ".join(f"w{x:04d}" for x in words[i * 60:(i + 1) * 60])
+             for i in range(300)]
+    texts += ["", "a" * 10, "b" * (k - 1), "c" * k, "d" * (k + 5),
+              "e" * (w + k - 1), "f" * (w + k), "ab" * 400, "ü" * 200,
+              "boilerplate " * 100]
+    bs = [t.encode() for t in texts]
+    data = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    offs = np.cumsum([0] + [len(b) for b in bs]).astype(np.int64)
+
+    def run(use_native):
+        old = os.environ.get("MIEKKI_NATIVE")
+        os.environ["MIEKKI_NATIVE"] = "1" if use_native else "0"
+        native._TRIED, native._LIB = False, None
+        try:
+            return batch_doc_anchors(data, offs, k, w)
+        finally:
+            native._TRIED, native._LIB = False, None
+            if old is None:
+                os.environ.pop("MIEKKI_NATIVE", None)
+            else:
+                os.environ["MIEKKI_NATIVE"] = old
+
+    ref, got = run(False), run(True)
+    assert len(ref[0]) > 0
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, b)
+
+
+@needs_native
 def test_native_xxh64_vectors():
     import ctypes
 
