@@ -263,8 +263,28 @@ def cmd_curate(args):
     if args.url_dedup:
         from miekki.decontam import url_dedup
 
-        raw = (cat.read(args.corpus)
-               .withColumn("doc_id", F.expr(doc_id_sql("url", cfg))))
+        raw = cat.read(args.corpus)
+        # audit value: RAW capture rows, counted before the
+        # identical-url collapse below (the verdict table would
+        # under-report appended recrawls of one exact url)
+        n_url_in = raw.count()
+        # pre-collapse captures with IDENTICAL raw url (recrawl
+        # appended instead of upserted): they all hash to one doc_id,
+        # so url_dedup's (len, doc_id) tie-break cannot separate them
+        # and the winners semi-join below would keep every one of
+        # them — including shorter losers (ADVICE r5 high). Keep the
+        # lexicographically-richest capture per raw url via ONE
+        # map-side-collapsible max-struct (never a window over raw
+        # captures — same scale argument as url_dedup itself);
+        # unique-url corpora pass through bit-identically (all
+        # groups are singletons).
+        payload = [c for c in raw.columns if c != "url"]
+        raw = (raw.groupBy("url")
+               .agg(F.max(F.struct(
+                   F.length("text").alias("__l"),
+                   *[F.col(c) for c in payload])).alias("__w"))
+               .select("url", *[F.col(f"__w.{c}") for c in payload]))
+        raw = raw.withColumn("doc_id", F.expr(doc_id_sql("url", cfg)))
         uv = url_dedup(raw.withColumn("__n", F.length("text")),
                        len_col="__n")
         cat.overwrite("url_verdicts", uv, run_id=args.run_id)
@@ -274,7 +294,6 @@ def cmd_curate(args):
                       raw.join(winners, "doc_id", "left_semi")
                       .drop("doc_id"),
                       run_id=args.run_id)
-        n_url_in = cat.read("url_verdicts").count()
         n_url_kept = cat.read("corpus_url_kept").count()
         url_summary = {"captures": n_url_in, "pages_kept": n_url_kept}
         args.corpus = "corpus_url_kept"

@@ -358,8 +358,13 @@ def cms_update_state(cat, table: str, batch: DataFrame, col: str,
     rider = sketch.sparkSession.createDataFrame(
         [(-1, -1, bseq)], "row_idx int, col_idx int, cnt long")
     if group_cols:
+        # each rider NULL takes the group column's ACTUAL dtype from
+        # the sketch schema (ADVICE r5 low: a hardcoded 'string' cast
+        # silently coerced non-string group columns through the
+        # unionByName, changing probe/join types on later merges)
         for g in group_cols:
-            rider = rider.withColumn(g, F.lit(None).cast("string"))
+            rider = rider.withColumn(
+                g, F.lit(None).cast(sketch.schema[g].dataType))
         rider = rider.select(*sketch.columns)
     cat.overwrite(table, sketch.unionByName(rider).localCheckpoint(),
                   run_id=f"cms-{bseq}")

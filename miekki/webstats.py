@@ -384,8 +384,11 @@ def line_dedup_duck_sql(src: str, sep: str = "\n") -> str:
     QUALIFY row_number keeps the (doc_id, idx)-minimal occurrence —
     an independent formulation of the same keep-first rule. ``sep``
     mirrors line_dedup's (paragraph mode: '\\n\\n')."""
+    # non-newline separators are quote-escaped before interpolation
+    # (ADVICE r5 low: a sep containing ' produced broken SQL)
     s = " || ".join(["chr(10)"] * sep.count("\n")) \
-        if sep and set(sep) == {"\n"} else f"'{sep}'"
+        if sep and set(sep) == {"\n"} \
+        else "'" + sep.replace("'", "''") + "'"
     return f"""
 WITH d AS (SELECT doc_id, text,
                   CAST(len(str_split(text, {s})) AS BIGINT) AS n_lines

@@ -320,3 +320,39 @@ def test_cli_curate_split_by_cluster_zero_leakage(spark, corpus_df,
     cur = cat.read("curated").select("doc_id", "cluster_id", "split")
     audit = split_leakage(cur).toPandas()
     assert not audit["leaky"].any()
+
+
+def test_cli_curate_url_dedup_identical_raw_urls(spark, corpus_df,
+                                                 tmp_path_factory, capsys):
+    """Recrawls appended with the IDENTICAL raw url string share one
+    doc_id = hash(url), so the winners semi-join alone cannot separate
+    them (ADVICE r5 high): the pre-collapse must keep exactly the
+    richest capture per url, pages_kept must count pages, and no
+    truncated loser may survive into the funnel input."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("cli_urldedup_ident"))
+    cat = HadoopCatalog(spark, root)
+    base = corpus_df.limit(120)
+    # 30 exact-url recrawls with truncated text (losers) — same url
+    # string, so every one hashes to the winner's doc_id
+    recrawl = (base.limit(30)
+               .withColumn("text", F.expr("substring(text, 1, 10)")))
+    cat.overwrite("corpus", base.unionByName(recrawl), run_id="ingest")
+
+    main(["curate", "--catalog-root", root, "--run-id", "u2",
+          "--url-dedup", "--langs", "en,fr,es,zh,de",
+          "--mix", "en=1.0", "--default-rate", "1.0",
+          "--splits", "train=1.0"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert out["url_dedup"] == {"captures": 150, "pages_kept": 120}
+    kept = cat.read("corpus_url_kept")
+    assert kept.count() == 120
+    # the surviving capture per duplicated url is the FULL-length one
+    assert kept.where(F.length("text") <= 10).count() == 0
+    # verdicts run over the collapsed captures: one row per page,
+    # exactly one winner each
+    v = cat.read("url_verdicts")
+    assert v.count() == 120
+    assert v.where("kept").count() == 120

@@ -407,3 +407,26 @@ def test_cms_update_state_exactly_once(spark, tmp_path):
     assert direct.exceptAll(cells).isEmpty()
     # the rider row records the last applied bseq
     assert state.where("row_idx = -1").first()["cnt"] == 2
+
+
+def test_cms_update_state_nonstring_group_col(spark, tmp_path):
+    """The bseq rider's NULL group columns take the sketch's actual
+    dtypes (ADVICE r5 low): with an int group column the persisted
+    state must keep IntegerType across merges, not coerce to string."""
+    from miekki.catalog import HadoopCatalog
+    from miekki.sketches import cms_build, cms_update_state
+
+    cat = HadoopCatalog(spark, str(tmp_path / "cmscat_int"))
+    b0 = spark.createDataFrame([(1, "a"), (1, "b"), (2, "a")],
+                               "g int, v string")
+    b1 = spark.createDataFrame([(1, "a"), (2, "c")], "g int, v string")
+    assert cms_update_state(cat, "cms_gstate", b0, "v", bseq=1,
+                            group_cols=("g",))
+    assert cms_update_state(cat, "cms_gstate", b1, "v", bseq=2,
+                            group_cols=("g",))
+    state = cat.read("cms_gstate")
+    assert state.schema["g"].dataType.simpleString() == "int"
+    direct = cms_build(b0.unionByName(b1), "v", ("g",))
+    cells = state.where(F.col("row_idx") >= 0)
+    assert cells.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(cells).isEmpty()

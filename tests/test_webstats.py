@@ -444,3 +444,26 @@ def test_zip_word_grams_matches_python_reference(spark):
             .alias("g")).collect()}
         for doc_id, text in docs:
             assert got[doc_id] == py_grams(text, n), (doc_id, n, text)
+
+
+def test_line_dedup_duck_sql_quote_separator(spark):
+    """A separator containing a single quote is escaped before SQL
+    interpolation (ADVICE r5 low) — twin still matches the operator."""
+    import duckdb
+
+    from miekki.webstats import line_dedup, line_dedup_duck_sql
+
+    rows = [(1, "aaa'x'bbb'x'ccc"), (2, "bbb'x'ddd")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           line_dedup(df, sep="'x'").collect()}
+    assert out[1]["clean_text"] == "aaa'x'bbb'x'ccc"
+    assert out[2]["clean_text"] == "ddd"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = {r[0]: r for r in con.sql(
+        line_dedup_duck_sql("t", sep="'x'")).fetchall()}
+    for i in (1, 2):
+        assert duck[i][1] == out[i]["clean_text"], i
