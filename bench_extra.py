@@ -116,7 +116,20 @@ def main():
             "hdr": lambda: hdr_quantiles(hdr_histogram(
                 docs.select(F.length("norm_text").alias("len")), "len")),
             "e2e": lambda: dedup_labels(corpus, cfg),
+            "bpe": lambda: _bpe_frame(),
         }
+
+    _bpe_state: dict = {}
+
+    def _bpe_frame():
+        # fit once (driver-side, bounded sample — untimed), tokenize
+        # the full widened corpus (the timed part)
+        from miekki.bpe import bpe_tokenize, fit_bpe
+
+        if "merges" not in _bpe_state:
+            _bpe_state["merges"] = fit_bpe(docs, norm_col="norm_text")
+        return bpe_tokenize(docs, _bpe_state["merges"],
+                            norm_col="norm_text")
 
     frames = stage_frames()
     only = [s for s in args.stages.split(",") if s] or list(frames)

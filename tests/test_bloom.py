@@ -131,3 +131,41 @@ def test_bloom_plan_shapes(spark, built):
                   ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in probe_plan
     assert "Cartesian" not in probe_plan
+
+
+def test_bloom_probe_non_broadcast_join_path(spark):
+    """VERDICT r5 #5: the probe must stay correct when the filter
+    does NOT broadcast. Force the shuffled path by dropping
+    autoBroadcastJoinThreshold to -1 (cheaper than building 2^33
+    bits; the join strategy, not the filter size, is what the
+    default-path tests never exercise) and pin (a) the plan shows a
+    non-broadcast equi-join on word_idx and (b) verdicts are
+    byte-identical to the broadcast path."""
+    members = [f"member-{i}" for i in range(300)]
+    probes = members[:50] + [f"absent-{i}" for i in range(200)]
+    pdf = _strs(spark, probes).withColumn("key", F.col("v"))
+    blm = bloom_build(_strs(spark, members), "v", m_bits=1 << 14, k=7)
+    blm.persist().count()
+
+    ref = bloom_probe(pdf, blm, "v", key_cols=("key",),
+                      m_bits=1 << 14, k=7).toPandas() \
+        .sort_values("key").reset_index(drop=True)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probed = bloom_probe(pdf, blm, "v", key_cols=("key",),
+                             m_bits=1 << 14, k=7)
+        got = probed.toPandas().sort_values("key").reset_index(drop=True)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert "BroadcastHashJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert "word_idx" in plan
+    assert ref.equals(got)
+    # and the guarantee that matters survives the strategy change
+    flagged = dict(zip(got["key"], got["maybe_in_ref"]))
+    assert all(flagged[m] for m in members[:50])
+    blm.unpersist()

@@ -181,3 +181,14 @@ def test_lsh_plan_tracks_threshold(spark):
         midpoint = (1.0 / row["b"]) ** (1.0 / row["r"])
         assert abs(midpoint - thr) < 0.25, (thr, midpoint)
     assert chosen == {0.5: 32, 0.7: 16, 0.85: 8}
+
+
+def test_lsh_plan_no_window(spark):
+    """lsh_plan's chosen flag comes from a 1-row min-struct broadcast,
+    never a single-partition row_number window (VERDICT r5 wrong #2)."""
+    from miekki.stages.lsh import lsh_plan
+
+    plan = (lsh_plan(spark)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
