@@ -274,6 +274,41 @@ static inline uint64_t fmix64(uint64_t h) {
     return h;
 }
 
+/* Common-run verification — C twin of substr_kernels.batch_common_runs
+ * (bit-parity pinned in tests/test_native.py). Per clipped pair:
+ * if the k-byte anchor windows differ (or either runs past its clip)
+ * the run is 0; otherwise extend byte-wise left within min(pos) and
+ * right within min(len - pos) - k. Matches the numpy slab kernel's
+ * clamp semantics exactly (indices are in-bounds by clip
+ * construction; the bounds below are the same ones it enforces). */
+int runs_kernel(const uint8_t *data_a, const int64_t *offs_a,
+                const uint8_t *data_b, const int64_t *offs_b,
+                const int64_t *pos_a, const int64_t *pos_b,
+                int64_t n, int k, int32_t *runs_out) {
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t sa = offs_a[i], sb = offs_b[i];
+        const int64_t la = offs_a[i + 1] - sa, lb = offs_b[i + 1] - sb;
+        const int64_t pa = pos_a[i], pb = pos_b[i];
+        const uint8_t *a = data_a + sa, *b = data_b + sb;
+        if (pa + k > la || pb + k > lb ||
+            memcmp(a + pa, b + pb, (size_t)k) != 0) {
+            runs_out[i] = 0;
+            continue;
+        }
+        int64_t lmax = pa < pb ? pa : pb;
+        int64_t ext_l = 0;
+        while (ext_l < lmax && a[pa - 1 - ext_l] == b[pb - 1 - ext_l])
+            ext_l++;
+        int64_t rmax = (la - pa < lb - pb ? la - pa : lb - pb) - k;
+        if (rmax < 0) rmax = 0;
+        int64_t ext_r = 0;
+        while (ext_r < rmax && a[pa + k + ext_r] == b[pb + k + ext_r])
+            ext_r++;
+        runs_out[i] = (int32_t)(ext_l + k + ext_r);
+    }
+    return 0;
+}
+
 /* rows/fps/pos sized by the caller to >= total window count.
  * Returns the number of anchors written, or -1 on alloc failure. */
 int64_t anchor_kernel(const uint8_t *data, const int64_t *offsets,

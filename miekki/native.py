@@ -77,6 +77,13 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.runs_kernel.restype = ctypes.c_int
+        lib.runs_kernel.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+        ]
         # smoke: pinned vector (b"abc", seed 42) must match the oracle
         buf = (ctypes.c_char * 3).from_buffer_copy(b"abc")
         got = lib.xxh64_one(ctypes.addressof(buf), 3, 42)

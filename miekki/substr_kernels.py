@@ -301,6 +301,27 @@ def batch_common_runs(data_a: np.ndarray, offs_a: np.ndarray,
         return np.empty(0, dtype=np.int32)
     pos_a = pos_a.astype(np.int64)
     pos_b = pos_b.astype(np.int64)
+    from miekki import native
+
+    lib = native.load()
+    if lib is not None and hasattr(lib, "runs_kernel"):
+        import ctypes
+
+        da = np.ascontiguousarray(data_a)
+        db = np.ascontiguousarray(data_b)
+        oa = np.ascontiguousarray(offs_a, dtype=np.int64)
+        ob = np.ascontiguousarray(offs_b, dtype=np.int64)
+        runs = np.empty(n, dtype=np.int32)
+        lib.runs_kernel(
+            da.ctypes.data_as(ctypes.c_void_p),
+            oa.ctypes.data_as(ctypes.c_void_p),
+            db.ctypes.data_as(ctypes.c_void_p),
+            ob.ctypes.data_as(ctypes.c_void_p),
+            pos_a.ctypes.data_as(ctypes.c_void_p),
+            pos_b.ctypes.data_as(ctypes.c_void_p),
+            n, k,
+            runs.ctypes.data_as(ctypes.c_void_p))
+        return runs
     len_a = np.diff(offs_a).astype(np.int64)
     len_b = np.diff(offs_b).astype(np.int64)
     ga = offs_a[:-1] + pos_a                      # global anchor starts

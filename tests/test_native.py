@@ -112,6 +112,60 @@ def test_native_anchor_parity():
 
 
 @needs_native
+def test_native_runs_parity():
+    from miekki.config import DedupConfig
+    from miekki.substr_kernels import batch_common_runs
+
+    cfg = DedupConfig()
+    k, ext = cfg.anchor_k, cfg.substr_len
+    rng = np.random.Generator(np.random.PCG64(9))
+    clips_a, clips_b, pa, pb = [], [], [], []
+    for i in range(4000):
+        la = int(rng.integers(k, 2 * ext + k + 1))
+        lb = int(rng.integers(k, 2 * ext + k + 1))
+        A = rng.integers(32, 127, size=la, dtype=np.uint8)
+        B = rng.integers(32, 127, size=lb, dtype=np.uint8)
+        p1 = int(rng.integers(0, la - k + 1))
+        p2 = int(rng.integers(0, lb - k + 1))
+        case = i % 4
+        if case == 0:          # shared anchor + partial extensions
+            B[p2:p2 + k] = A[p1:p1 + k]
+            left = min(p1, p2, int(rng.integers(0, 60)))
+            if left:
+                B[p2 - left:p2] = A[p1 - left:p1]
+            right = min(la - p1 - k, lb - p2 - k, int(rng.integers(0, 90)))
+            if right:
+                B[p2 + k:p2 + k + right] = A[p1 + k:p1 + k + right]
+        elif case == 1:        # byte-identical clips (max run)
+            lb, p2, B = la, p1, A.copy()
+        # cases 2/3: random clips — anchor mismatch, run 0
+        clips_a.append(A); clips_b.append(B); pa.append(p1); pb.append(p2)
+    da = np.concatenate(clips_a)
+    db = np.concatenate(clips_b)
+    oa = np.cumsum([0] + [len(c) for c in clips_a]).astype(np.int64)
+    ob = np.cumsum([0] + [len(c) for c in clips_b]).astype(np.int64)
+    pa = np.array(pa, dtype=np.int64)
+    pb = np.array(pb, dtype=np.int64)
+
+    def run(use_native):
+        old = os.environ.get("MIEKKI_NATIVE")
+        os.environ["MIEKKI_NATIVE"] = "1" if use_native else "0"
+        native._TRIED, native._LIB = False, None
+        try:
+            return batch_common_runs(da, oa, db, ob, pa, pb, k)
+        finally:
+            native._TRIED, native._LIB = False, None
+            if old is None:
+                os.environ.pop("MIEKKI_NATIVE", None)
+            else:
+                os.environ["MIEKKI_NATIVE"] = old
+
+    ref, got = run(False), run(True)
+    assert (ref > 0).any() and (ref == 0).any()
+    assert np.array_equal(ref, got)
+
+
+@needs_native
 def test_native_xxh64_vectors():
     import ctypes
 
