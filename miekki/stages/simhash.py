@@ -11,7 +11,13 @@ path runs regardless). Buckets are salted with the same two-level
 scheme as LSH banding; level 2 chains the per-salt minima.
 
 Final edges are verified exactly: bit_count(fp_src ^ fp_dst) <= k,
-JVM-side.
+JVM-side — via joins back to T2 DELIBERATELY (r6): carrying both
+fingerprints through the chain windows (lead(simhash) per successor)
+removed both joins from the plan but measured 4.1 s vs 3.0 s in a
+same-session A/B at mult=16 — doubling the lead() expressions costs
+more than the two AQE-broadcast joins of the 16-byte fp table they
+replaced. Edge-set equality of the two formulations was
+exceptAll-verified before reverting.
 """
 
 from __future__ import annotations
