@@ -36,7 +36,18 @@ def verify_edges(edges: DataFrame, signatures: DataFrame, cfg: DedupConfig,
     joins shuffle-free (SURVEY.md §4.5)."""
     s = signatures.select(F.col("doc_id").alias("src"), F.col("minhash").alias("mh_src"))
     d = signatures.select(F.col("doc_id").alias("dst"), F.col("minhash").alias("mh_dst"))
-    est = F.expr(est_j_matches_sql(cfg.n_perm)) / F.lit(float(cfg.n_perm))
+    # `+ 0.0 * rand(42)` is a value-exact pushdown barrier (guide
+    # §4.4 for a builtin): without it the optimizer pushes the tau
+    # filter INTO the join condition and re-evaluates the 128-step
+    # aggregate/zip_with AGAIN in the weight projection — the r6 plan
+    # showed EST_J twice and the barrier form measured ~9% faster at
+    # mult=16 (1.38 s → 1.25 s min-of-4, same-session A/B) with the
+    # duplication growing with candidate count at scale. Exactness:
+    # rand() ∈ [0, 1) is always finite, 0.0 * finite = +0.0, and
+    # x + +0.0 == x bit-for-bit for every non-negative x (EST_J/128
+    # is never -0.0) — output verified exceptAll-identical.
+    est = ((F.expr(est_j_matches_sql(cfg.n_perm))
+            + F.lit(0.0) * F.rand(42)) / F.lit(float(cfg.n_perm)))
     return (edges.join(s, "src").join(d, "dst")
             .withColumn("weight", est)
             .where(F.col("weight") >= cfg.tau)
